@@ -1,0 +1,90 @@
+"""Sink/engine configuration.
+
+Mirrors the flatten-relevant config surface of the reference's
+``JdbcSinkConfig`` (reference: src/main/java/io/confluent/connect/jdbc/sink/
+JdbcSinkConfig.java:251-332, 715-776) plus Ray-engine knobs (bucket count,
+lake root) that replace the JDBC connection settings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+DEFAULT_COORDINATE_NAMES = (
+    "kafkatopic",
+    "kafkapartition",
+    "kafkaoffset",
+    "kafkatimestamp",
+    "kafkatimestamp_type",
+)
+
+
+@dataclass(frozen=True)
+class SinkConfig:
+    """Engine configuration (hashable so plans can be cached per config).
+
+    Validation rules follow JdbcSinkConfig.java:715-776:
+    flatten => insert_mode in {insert, upsert}; delete_enabled => pk_mode in
+    {record_key, flatten}.
+    """
+
+    # --- flatten surface (JdbcSinkConfig.java:251-332) ---
+    flatten: bool = True
+    flatten_coordinates: bool = True
+    # (topic, partition, offset, timestamp, timestamp_type) column names
+    coordinate_names: tuple[str, ...] = DEFAULT_COORDINATE_NAMES
+    delimiter: str = "_"
+    # {"<dotted path>.<field>": "<new name>"} — applied verbatim (no case fold)
+    rename_fields: tuple[tuple[str, str], ...] = ()
+    # {"<full table name, lowercase delimited>": "<new table name>"}
+    rename_tables: tuple[tuple[str, str], ...] = ()
+    uppercase: bool = False
+    # exact dotted container paths to keep; empty = keep everything
+    whitelist: tuple[str, ...] = ()
+    instruction_cache_size: int = 100
+    # dotted value paths copied from ancestor structs into descendant tables
+    pk_propagate_value_fields: tuple[str, ...] = ()
+
+    # --- sink surface ---
+    pk_mode: str = "flatten"  # none | kafka | record_key | record_value | flatten
+    pk_fields: tuple[str, ...] = ()
+    insert_mode: str = "upsert"  # insert | upsert
+    delete_enabled: bool = True
+    batch_size: int = 3000  # reference JDBC batch; informational here
+
+    # --- Ray engine knobs (replace JDBC connection config) ---
+    num_buckets: int = 32  # hash buckets per table for the merge shuffle
+
+    def __post_init__(self) -> None:
+        if self.insert_mode not in ("insert", "upsert"):
+            raise ValueError(f"insert_mode must be insert|upsert, got {self.insert_mode}")
+        if self.pk_mode not in ("none", "kafka", "record_key", "record_value", "flatten"):
+            raise ValueError(f"unknown pk_mode {self.pk_mode}")
+        if self.flatten and self.insert_mode not in ("insert", "upsert"):
+            raise ValueError("flatten requires insert_mode insert or upsert")
+        if self.delete_enabled and self.pk_mode not in ("record_key", "flatten"):
+            raise ValueError("delete_enabled requires pk_mode record_key or flatten")
+        if len(self.coordinate_names) != 5:
+            raise ValueError("coordinate_names must have exactly 5 entries")
+
+    # Convenience views (tuples keep the dataclass hashable).
+    @property
+    def rename_fields_map(self) -> dict[str, str]:
+        return dict(self.rename_fields)
+
+    @property
+    def rename_tables_map(self) -> dict[str, str]:
+        return dict(self.rename_tables)
+
+    @property
+    def pk_fields_lc(self) -> tuple[str, ...]:
+        return tuple(f.strip().lower() for f in self.pk_fields if f.strip())
+
+    @property
+    def propagate_fields_lc(self) -> tuple[str, ...]:
+        return tuple(f.strip().lower() for f in self.pk_propagate_value_fields if f.strip())
+
+    @property
+    def whitelist_lc(self) -> tuple[str, ...]:
+        return tuple(w.strip().lower() for w in self.whitelist if w.strip())
