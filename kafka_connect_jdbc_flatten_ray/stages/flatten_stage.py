@@ -1,0 +1,142 @@
+"""FlattenStage: the stateful actor-pool map_batches stage.
+
+The Ray analogue of the reference sink task's per-task
+FlattenTransformation with its per-SchemaPair instruction cache (ST1,
+FlattenTransformation.java:39-54): a callable class for
+``map_batches(FlattenStage, batch_format="pyarrow", concurrency=N)`` whose
+``__init__`` work (plan building) is cached per schema fingerprint and
+amortized across batches.
+
+Output envelope (one row per (table, bucket) micro-block per input batch):
+
+    table: string, bucket: int32, rows: int64, payload: large_binary
+
+``payload`` is an Arrow IPC stream of that table's flattened envelope rows
+(data schema + __op/__part/__off). Serializing per (table, bucket) keeps the
+merge shuffle (groupby table+bucket) moving compact self-describing blocks —
+this is what makes schema evolution safe mid-stream: each payload carries its
+own schema and the merge unifies them (W5 analogue, DbStructure.java:127-234).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kafka_connect_jdbc_flatten_ray.config import SinkConfig
+from kafka_connect_jdbc_flatten_ray.stages.kernel import flatten_event_batch
+from kafka_connect_jdbc_flatten_ray.stages.plan import (
+    OFF_COL,
+    FlattenPlan,
+    build_plan,
+    schema_fingerprint,
+)
+
+ENVELOPE_SCHEMA = pa.schema(
+    [
+        pa.field("table", pa.string()),
+        pa.field("bucket", pa.int32()),
+        pa.field("rows", pa.int64()),
+        pa.field("payload", pa.large_binary()),
+    ]
+)
+
+
+def serialize_ipc(tbl: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+def deserialize_ipc(buf) -> pa.Table:
+    return pa.ipc.open_stream(pa.py_buffer(buf)).read_all()
+
+
+def bucket_of(tbl: pa.Table, key_cols: tuple[str, ...], num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per row over the key-PK columns.
+
+    This is the engine's explicit skew/partitioning control (SURVEY.md §7.3):
+    the merge shuffle key is hash(key-pk) so all ops for a key meet in one
+    group. Tables with no key PKs spread rows by offset (no clears to align).
+    """
+    if not key_cols:
+        off = tbl.column(OFF_COL).to_numpy(zero_copy_only=False)
+        return (off % num_buckets).astype(np.int32)
+    df = tbl.select(list(key_cols)).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+class FlattenStage:
+    """map_batches callable: change-event batches -> (table, bucket, payload)."""
+
+    def __init__(
+        self,
+        cfg: SinkConfig,
+        topic: str,
+        value_schema_name: str | None,
+        key_schema_name: str | None = None,
+    ):
+        self.cfg = cfg
+        self.topic = topic
+        self.value_schema_name = value_schema_name
+        self.key_schema_name = key_schema_name
+        # ST1: LRU plan cache keyed by schema fingerprint
+        self._plans: OrderedDict[str, FlattenPlan] = OrderedDict()
+
+    def _plan_for(self, batch: pa.Table) -> FlattenPlan:
+        vt = batch.schema.field("value").type
+        kt = batch.schema.field("key").type if "key" in batch.column_names else None
+        fp = schema_fingerprint(vt, kt, self.value_schema_name, self.key_schema_name)
+        plan = self._plans.get(fp)
+        if plan is None:
+            plan = build_plan(
+                self.cfg, self.topic, vt, self.value_schema_name, kt, self.key_schema_name
+            )
+            self._plans[fp] = plan
+            while len(self._plans) > self.cfg.instruction_cache_size:
+                self._plans.popitem(last=False)
+        else:
+            self._plans.move_to_end(fp)
+        return plan
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        plan = self._plan_for(batch)
+        tables, buckets, rows, payloads = [], [], [], []
+        out = flatten_event_batch(plan, self.cfg, batch)
+        nb = self.cfg.num_buckets
+        for tp in plan.tables:
+            tbl = out[tp.table]
+            if tbl.num_rows == 0:
+                continue
+            b = bucket_of(tbl, tp.key_pk_cols, nb)
+            if len(np.unique(b)) == 1:
+                groups = [(int(b[0]), tbl)]
+            else:
+                order = np.argsort(b, kind="stable")
+                sorted_tbl = tbl.take(pa.array(order))
+                bs = b[order]
+                bounds = np.flatnonzero(np.diff(bs)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(bs)]))
+                groups = [
+                    (int(bs[s]), sorted_tbl.slice(s, e - s)) for s, e in zip(starts, ends)
+                ]
+            for bucket, sub in groups:
+                tables.append(tp.table)
+                buckets.append(bucket)
+                rows.append(sub.num_rows)
+                payloads.append(serialize_ipc(sub))
+        return pa.Table.from_arrays(
+            [
+                pa.array(tables, pa.string()),
+                pa.array(buckets, pa.int32()),
+                pa.array(rows, pa.int64()),
+                pa.array(payloads, pa.large_binary()),
+            ],
+            schema=ENVELOPE_SCHEMA,
+        )

@@ -53,6 +53,21 @@ def _take(a: pa.Array, idx) -> pa.Array:
     return a if idx is None else a.take(idx)
 
 
+def _list_explode(cur: pa.Array):
+    """(flattened values, parent indices) for a list-typed array.
+
+    ``pc.list_parent_indices`` uses raw offsets and ignores the validity
+    bitmap, while ``pc.list_flatten`` respects it — inconsistent when a null
+    list slot still spans child values. Deriving parents from
+    ``list_value_length`` (null -> 0) keeps the two aligned.
+    """
+    import numpy as np
+
+    lens = pc.fill_null(pc.list_value_length(cur), 0).to_numpy(zero_copy_only=False)
+    par = pa.array(np.repeat(np.arange(len(cur), dtype=np.int64), lens))
+    return pc.list_flatten(cur), par
+
+
 def _explode(tp: TablePlan, value: pa.Array):
     """Navigate the main container path, exploding arrays/maps en route.
 
@@ -74,16 +89,14 @@ def _explode(tp: TablePlan, value: pa.Array):
             if i + 1 < len(mp):
                 cur = pc.struct_field(cur, mp[i + 1].src_name)
         elif cont.kind == ARRAY:
-            par = pc.list_parent_indices(cur)
-            flat = pc.list_flatten(cur)
+            flat, par = _list_explode(cur)
             pidx = par if pidx is None else pidx.take(par)
             caps = {k: v.take(par) for k, v in caps.items()}
             cur = flat
         elif cont.kind == MAP:
             mtype = cur.type
             lst = cur.cast(pa.list_(pa.struct([mtype.key_field, mtype.item_field])))
-            par = pc.list_parent_indices(lst)
-            flat = pc.list_flatten(lst)
+            flat, par = _list_explode(lst)
             pidx = par if pidx is None else pidx.take(par)
             caps = {k: v.take(par) for k, v in caps.items()}
             keys = pc.struct_field(flat, mtype.key_field.name)

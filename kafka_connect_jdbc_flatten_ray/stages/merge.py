@@ -1,0 +1,186 @@
+"""Key-partitioned last-wins merge: the upsert/tombstone apply stage.
+
+The Ray analogue of the reference's buffered delete-then-insert flush
+(BufferedRecords.java:264-298: ALL deletes execute before ALL inserts, per
+JDBC batch, with per-key op order preserved — ST3) re-expressed as a
+deterministic replay rule instead of buffer gymnastics:
+
+    For each key (record-key PK tuple), let C = max order-rank over its
+    clear ops (upsert markers 'M', tombstones 'D'), where
+    rank = (kafka_partition << 40) | kafka_offset.  A data row survives iff
+    its rank >= C (rows emitted by the clearing upsert share its offset and
+    therefore survive their own marker; tombstones emit no rows).
+
+Replaying the same events twice is idempotent (the reference's exactly-once
+story, README.md:177-186), and the rule is insensitive to arrival order —
+only to (partition, offset) — so parallel replay is safe.
+
+Runs inside ``groupby(["table", "bucket"]).map_groups`` after the hash
+shuffle on the key-PK bucket. Schema evolution (W5) happens here: payload
+blocks carry their own schemas and are concatenated with promotion (missing
+columns -> null), the Parquet analogue of ALTER TABLE ADD COLUMN
+(DbStructure.java:127-234).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_connect_jdbc_flatten_ray.stages.flatten_stage import deserialize_ipc
+from kafka_connect_jdbc_flatten_ray.stages.plan import OFF_COL, OP_COL, OP_INSERT, PART_COL
+
+# rank = (partition << OFFSET_BITS) | offset; offsets up to 2^40 ≈ 1.1e12
+# cover the 10^10-event target with headroom, partitions up to 2^23.
+OFFSET_BITS = 40
+
+INTERNAL_COLS = (OP_COL, PART_COL, OFF_COL)
+
+MERGE_STATS_SCHEMA = pa.schema(
+    [
+        pa.field("table", pa.string()),
+        pa.field("bucket", pa.int32()),
+        pa.field("rows_in", pa.int64()),
+        pa.field("clears_in", pa.int64()),
+        pa.field("rows_out", pa.int64()),
+        pa.field("path", pa.string()),
+    ]
+)
+
+
+def _rank(tbl: pa.Table) -> np.ndarray:
+    part = tbl.column(PART_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+    off = tbl.column(OFF_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+    return (part << OFFSET_BITS) | off
+
+
+def concat_payloads(group: pa.Table, prior: pa.Table | None = None) -> pa.Table:
+    """Deserialize a (table, bucket) group's payload blocks and concatenate
+    with schema promotion (evolution-safe)."""
+    tables = [deserialize_ipc(buf) for buf in group.column("payload").to_pylist()]
+    if prior is not None and prior.num_rows:
+        tables.append(prior)
+    if len(tables) == 1:
+        return tables[0]
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def last_wins(full: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
+    """Apply the replay rule; returns surviving data rows (op column dropped,
+    order columns kept for incremental re-merge)."""
+    op = full.column(OP_COL).to_numpy(zero_copy_only=False)
+    is_data = op == OP_INSERT
+    if key_cols and not is_data.all():
+        rank = _rank(full)
+        clear_rank = np.where(~is_data, rank, np.int64(-1))
+        # max clear rank per key, vectorized via factorized group ids
+        if len(key_cols) == 1:
+            codes, _ = _factorize_array(full.column(key_cols[0]))
+        else:
+            codes = _factorize_multi(full, key_cols)
+        ngroups = int(codes.max()) + 1 if len(codes) else 0
+        maxclear = np.full(ngroups, np.int64(-1))
+        np.maximum.at(maxclear, codes[~is_data], clear_rank[~is_data])
+        keep = is_data & (rank >= maxclear[codes])
+    else:
+        keep = is_data
+    out = full.filter(pa.array(keep))
+    return out.drop_columns([OP_COL])
+
+
+def _factorize_array(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, int]:
+    import pandas as pd
+
+    codes, uniq = pd.factorize(
+        col.to_pandas(types_mapper=None), use_na_sentinel=False
+    )
+    return codes.astype(np.int64), len(uniq)
+
+
+def _factorize_multi(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
+    import pandas as pd
+
+    combined = None
+    for c in cols:
+        codes, n = _factorize_array(tbl.column(c))
+        if combined is None:
+            combined = codes
+        else:
+            combined = combined * np.int64(n) + codes
+    # re-factorize the combined code to keep ids dense
+    codes, _ = pd.factorize(combined, use_na_sentinel=False)
+    return codes.astype(np.int64)
+
+
+def final_columns(tbl: pa.Table) -> pa.Table:
+    """Drop internal order columns for user-facing output."""
+    drop = [c for c in (PART_COL, OFF_COL, OP_COL) if c in tbl.column_names]
+    return tbl.drop_columns(drop)
+
+
+class MergeRows:
+    """map_groups fn for the single-table query path: returns final rows."""
+
+    def __init__(self, key_cols: tuple[str, ...], keep_internal: bool = False):
+        self.key_cols = key_cols
+        self.keep_internal = keep_internal
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        merged = last_wins(concat_payloads(group), self.key_cols)
+        return merged if self.keep_internal else final_columns(merged)
+
+
+class MergeToLake:
+    """map_groups fn for the full-ingest path: merges each (table, bucket)
+    group with its prior lake state and atomically rewrites the bucket file.
+
+    Idempotent per epoch: the output filename is deterministic and written
+    via temp-file + rename (W6 retry-safety analogue, JdbcSinkTask.java:74-99),
+    so Ray task retries or a resumed run rewrite the same state.
+    """
+
+    def __init__(
+        self,
+        lake_root: str,
+        epoch: int,
+        key_cols_by_table: dict[str, tuple[str, ...]],
+        prior_files: dict[tuple[str, int], str] | None = None,
+    ):
+        self.lake_root = lake_root
+        self.epoch = epoch
+        self.key_cols_by_table = key_cols_by_table
+        self.prior_files = prior_files or {}
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        table = group.column("table")[0].as_py()
+        bucket = group.column("bucket")[0].as_py()
+        prior_path = self.prior_files.get((table, bucket))
+        prior = pq.read_table(prior_path) if prior_path else None
+        full = concat_payloads(group, prior)
+        n_in = full.num_rows
+        op = full.column(OP_COL).to_numpy(zero_copy_only=False)
+        clears = int((op != OP_INSERT).sum())
+        merged = last_wins(full, self.key_cols_by_table.get(table, ()))
+
+        out_dir = os.path.join(self.lake_root, table, f"bucket={bucket:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"epoch-{self.epoch:06d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, path)  # atomic publish
+        return pa.Table.from_pylist(
+            [
+                {
+                    "table": table,
+                    "bucket": bucket,
+                    "rows_in": n_in,
+                    "clears_in": clears,
+                    "rows_out": merged.num_rows,
+                    "path": path,
+                }
+            ],
+            schema=MERGE_STATS_SCHEMA,
+        )
