@@ -1,0 +1,198 @@
+"""End-to-end CDC ingest pipelines (Ray Data).
+
+Lifecycle (SURVEY.md §3.4):
+
+    tail:    read documents -> EventGen (synthetic CDC log) -> filter by
+             checkpoint offsets (the incremental-tail criterion, S2)
+    flatten: map_batches(FlattenStage actor pool, batch_format="pyarrow")
+             -> (table, bucket, payload) envelopes
+    merge:   groupby(table, bucket) hash shuffle -> last-wins replay ->
+             atomic bucket-file rewrite in the Parquet lake
+    commit:  checkpoint save + per-table manifest swap (epoch = transaction)
+
+All stages stream; nothing materializes the event log. The only wide op is
+the single groupby on (table, bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.config import SinkConfig
+from kafka_connect_jdbc_flatten_ray.sources.cdc_gen import (
+    EventGen,
+    KEY_SCHEMA_NAME,
+    KEY_TYPE,
+    TOPIC,
+    VALUE_SCHEMA_NAME,
+    VALUE_TYPE,
+)
+from kafka_connect_jdbc_flatten_ray.stages.flatten_stage import FlattenStage
+from kafka_connect_jdbc_flatten_ray.stages.merge import (
+    MergeRows,
+    MergeToLake,
+    OFF_COL,
+    PART_COL,
+)
+from kafka_connect_jdbc_flatten_ray.stages.plan import FlattenPlan, build_plan
+from kafka_connect_jdbc_flatten_ray.state.checkpoints import CheckpointStore
+from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def default_config(**overrides) -> SinkConfig:
+    base = dict(
+        pk_mode="flatten",
+        pk_fields=("filechangekey.repo", "filechangekey.path"),
+        insert_mode="upsert",
+        delete_enabled=True,
+    )
+    base.update(overrides)
+    return SinkConfig(**base)
+
+
+def default_plan(cfg: SinkConfig, topic: str = TOPIC) -> FlattenPlan:
+    return build_plan(cfg, topic, VALUE_TYPE, VALUE_SCHEMA_NAME, KEY_TYPE, KEY_SCHEMA_NAME)
+
+
+def event_stream(
+    sf_dir: str,
+    num_partitions: int = 8,
+    include_tombstones: bool = True,
+    replicate: int = 1,
+) -> ray.data.Dataset:
+    """The change-event tail: documents -> deterministic CDC log."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLUMNS)
+    gen = EventGen(
+        num_partitions=num_partitions,
+        include_tombstones=include_tombstones,
+        replicate=replicate,
+    )
+    return docs.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_after_checkpoint(
+    events: ray.data.Dataset, offsets: dict[int, int]
+) -> ray.data.Dataset:
+    """Incremental-tail criterion: keep events with offset > checkpoint for
+    their partition (TimestampIncrementingCriteria.java:104-160 analogue)."""
+    if not offsets:
+        return events
+    maxp = max(offsets) + 1
+    lut = np.full(maxp + 1, np.int64(-1))
+    for p, o in offsets.items():
+        lut[p] = o
+
+    def _filter(t: pa.Table) -> pa.Table:
+        part = t.column("partition").to_numpy(zero_copy_only=False)
+        off = t.column("offset").to_numpy(zero_copy_only=False)
+        ck = lut[np.clip(part, 0, maxp)]
+        return t.filter(pa.array(off > ck))
+
+    return events.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def flatten_envelopes(
+    events: ray.data.Dataset,
+    cfg: SinkConfig,
+    topic: str = TOPIC,
+    value_schema_name: str | None = VALUE_SCHEMA_NAME,
+    key_schema_name: str | None = KEY_SCHEMA_NAME,
+    concurrency=(2, 8),
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """The stateful flatten stage (actor pool; plan cache per actor — ST1)."""
+    return events.map_batches(
+        FlattenStage,
+        fn_constructor_args=(cfg, topic, value_schema_name, key_schema_name),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def table_state(
+    envelopes: ray.data.Dataset, plan: FlattenPlan, table: str
+) -> ray.data.Dataset:
+    """Final merged state of ONE table as a streaming Dataset (query path)."""
+    tp = next(t for t in plan.tables if t.table == table)
+
+    def _only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("table"), table))
+
+    sub = envelopes.map_batches(_only, batch_format="pyarrow", zero_copy_batch=True)
+    return sub.groupby("bucket").map_groups(
+        MergeRows(tp.key_pk_cols), batch_format="pyarrow"
+    )
+
+
+def run_epoch(
+    sf_dir: str,
+    lake_root: str,
+    cfg: SinkConfig | None = None,
+    num_partitions: int = 8,
+    replicate: int = 1,
+    concurrency=(2, 8),
+) -> dict:
+    """One ingest epoch: tail -> flatten -> merge -> commit. Resumable: a
+    rerun skips events at/below the checkpoint and rewrites this epoch's
+    bucket files idempotently."""
+    cfg = cfg or default_config()
+    plan = default_plan(cfg)
+    key_cols = {tp.table: tp.key_pk_cols for tp in plan.tables}
+
+    ck = CheckpointStore(f"{lake_root}/_checkpoints")
+    prev = ck.latest_epoch()
+    epoch = 0 if prev is None else prev + 1
+    offsets = ck.load()
+
+    prior_files: dict[tuple[str, int], str] = {}
+    for tp in plan.tables:
+        for b, path in TableManifest(lake_root, tp.table).current_files().items():
+            prior_files[(tp.table, b)] = path
+
+    events = event_stream(sf_dir, num_partitions, True, replicate)
+    events = filter_after_checkpoint(events, offsets)
+    env = flatten_envelopes(events, cfg, concurrency=concurrency)
+    stats_ds = env.groupby(["table", "bucket"]).map_groups(
+        MergeToLake(lake_root, epoch, key_cols, prior_files),
+        batch_format="pyarrow",
+    )
+    stats = stats_ds.take_all()  # one small row per (table, bucket)
+
+    # commit: per-table manifest swap, then checkpoint
+    new_offsets = dict(offsets)
+    per_table: dict[str, dict] = {}
+    bucket_files: dict[str, dict[int, str]] = {}
+    for row in stats:
+        t = row["table"]
+        agg = per_table.setdefault(
+            t, {"rows_in": 0, "clears_in": 0, "rows_out": 0, "buckets": 0}
+        )
+        agg["rows_in"] += row["rows_in"]
+        agg["clears_in"] += row["clears_in"]
+        agg["rows_out"] += row["rows_out"]
+        agg["buckets"] += 1
+        bucket_files.setdefault(t, {})[row["bucket"]] = row["path"]
+        import json
+
+        for p, o in json.loads(row["offsets_json"] or "{}").items():
+            p = int(p)
+            if o > new_offsets.get(p, -1):
+                new_offsets[p] = int(o)
+    for t, files in bucket_files.items():
+        TableManifest(lake_root, t).publish(epoch, files, per_table[t])
+    ck.save(epoch, new_offsets, {"tables": per_table})
+    return {"epoch": epoch, "tables": per_table, "offsets": new_offsets}
+
+
+def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
+    """Current state of a lake table, resolved through its manifest."""
+    files = TableManifest(lake_root, table).current_files()
+    ds = ray.data.read_parquet(sorted(files.values()))
+    return ds.drop_columns([c for c in (PART_COL, OFF_COL) if c in ds.schema().names])

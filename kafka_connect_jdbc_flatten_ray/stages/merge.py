@@ -47,6 +47,9 @@ MERGE_STATS_SCHEMA = pa.schema(
         pa.field("clears_in", pa.int64()),
         pa.field("rows_out", pa.int64()),
         pa.field("path", pa.string()),
+        # per-partition max applied offset within this group (JSON object),
+        # aggregated by the driver into the epoch checkpoint
+        pa.field("offsets_json", pa.string()),
     ]
 )
 
@@ -68,9 +71,16 @@ def concat_payloads(group: pa.Table, prior: pa.Table | None = None) -> pa.Table:
     return pa.concat_tables(tables, promote_options="permissive")
 
 
-def last_wins(full: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
+def last_wins(full: pa.Table, key_cols: tuple[str, ...], n_new: int | None = None) -> pa.Table:
     """Apply the replay rule; returns surviving data rows (op column dropped,
-    order columns kept for incremental re-merge)."""
+    order columns kept for incremental re-merge).
+
+    Rows at index >= ``n_new`` are prior lake state: they are dominated by a
+    clear at rank >= their own (strict survival), while freshly replayed rows
+    survive their own event's marker (rank >= clear). This makes re-applying
+    an already-applied event replace its stored rows instead of duplicating
+    them — replay idempotence (README.md:177-186 exactly-once analogue).
+    """
     op = full.column(OP_COL).to_numpy(zero_copy_only=False)
     is_data = op == OP_INSERT
     if key_cols and not is_data.all():
@@ -84,7 +94,12 @@ def last_wins(full: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
         ngroups = int(codes.max()) + 1 if len(codes) else 0
         maxclear = np.full(ngroups, np.int64(-1))
         np.maximum.at(maxclear, codes[~is_data], clear_rank[~is_data])
-        keep = is_data & (rank >= maxclear[codes])
+        mc = maxclear[codes]
+        keep = is_data & (rank >= mc)
+        if n_new is not None and n_new < full.num_rows:
+            is_prior = np.zeros(full.num_rows, bool)
+            is_prior[n_new:] = True
+            keep &= ~(is_prior & (rank == mc))
     else:
         keep = is_data
     out = full.filter(pa.array(keep))
@@ -127,6 +142,7 @@ class MergeRows:
     def __init__(self, key_cols: tuple[str, ...], keep_internal: bool = False):
         self.key_cols = key_cols
         self.keep_internal = keep_internal
+        self.__name__ = "MergeRows"  # ray map_groups wants a fn-like name
 
     def __call__(self, group: pa.Table) -> pa.Table:
         merged = last_wins(concat_payloads(group), self.key_cols)
@@ -153,17 +169,36 @@ class MergeToLake:
         self.epoch = epoch
         self.key_cols_by_table = key_cols_by_table
         self.prior_files = prior_files or {}
+        self.__name__ = "MergeToLake"  # ray map_groups wants a fn-like name
 
     def __call__(self, group: pa.Table) -> pa.Table:
         table = group.column("table")[0].as_py()
         bucket = group.column("bucket")[0].as_py()
         prior_path = self.prior_files.get((table, bucket))
         prior = pq.read_table(prior_path) if prior_path else None
-        full = concat_payloads(group, prior)
+        if prior is not None:
+            # lake rows are surviving inserts; restore their op for replay
+            prior = prior.append_column(
+                OP_COL, pa.array([OP_INSERT] * prior.num_rows, pa.string())
+            )
+        new_ops = concat_payloads(group)
+        part = new_ops.column(PART_COL).to_numpy(zero_copy_only=False)
+        off = new_ops.column(OFF_COL).to_numpy(zero_copy_only=False)
+        offsets: dict[int, int] = {}
+        if len(part):
+            for p in np.unique(part):
+                offsets[int(p)] = int(off[part == p].max())
+        full = (
+            pa.concat_tables([new_ops, prior], promote_options="permissive")
+            if prior is not None and prior.num_rows
+            else new_ops
+        )
         n_in = full.num_rows
         op = full.column(OP_COL).to_numpy(zero_copy_only=False)
         clears = int((op != OP_INSERT).sum())
-        merged = last_wins(full, self.key_cols_by_table.get(table, ()))
+        merged = last_wins(
+            full, self.key_cols_by_table.get(table, ()), n_new=new_ops.num_rows
+        )
 
         out_dir = os.path.join(self.lake_root, table, f"bucket={bucket:05d}")
         os.makedirs(out_dir, exist_ok=True)
@@ -171,6 +206,8 @@ class MergeToLake:
         tmp = path + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, path)  # atomic publish
+        import json
+
         return pa.Table.from_pylist(
             [
                 {
@@ -180,6 +217,7 @@ class MergeToLake:
                     "clears_in": clears,
                     "rows_out": merged.num_rows,
                     "path": path,
+                    "offsets_json": json.dumps(offsets),
                 }
             ],
             schema=MERGE_STATS_SCHEMA,

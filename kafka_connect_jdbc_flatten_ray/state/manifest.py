@@ -1,0 +1,62 @@
+"""Lake-table manifests: schema registry + epoch lineage + metrics.
+
+The analogue of the reference's table-definition cache / DDL state (ST4,
+DbStructure.java:47-102, util/TableDefinitions.java): a JSON manifest per
+lake table directory recording, per epoch, the bucket files that make up the
+current state, the unified schema, and per-epoch lineage/metrics (rows in,
+clears applied, rows out).  Readers resolve current state through the
+manifest (not by globbing), so a half-written epoch is invisible until the
+manifest swap — this is the transaction boundary (W7,
+JdbcDbWriter.java:217-224).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class TableManifest:
+    def __init__(self, lake_root: str, table: str):
+        self.dir = os.path.join(lake_root, table)
+        self.path = os.path.join(self.dir, "manifest.json")
+
+    def load(self) -> dict | None:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f)
+
+    def current_files(self) -> dict[int, str]:
+        m = self.load()
+        if not m:
+            return {}
+        return {int(b): p for b, p in m["buckets"].items()}
+
+    def publish(
+        self,
+        epoch: int,
+        bucket_files: dict[int, str],
+        stats: dict,
+        schema_str: str | None = None,
+    ) -> None:
+        """Atomic manifest swap: current state becomes the new epoch's files.
+
+        Buckets untouched this epoch keep their previous file (bounded
+        rewrite scope — only buckets that saw ops are rewritten).
+        """
+        prev = self.load() or {"buckets": {}, "epochs": []}
+        buckets = {int(b): p for b, p in prev["buckets"].items()}
+        buckets.update(bucket_files)
+        m = {
+            "table": os.path.basename(self.dir),
+            "epoch": epoch,
+            "schema": schema_str or prev.get("schema"),
+            "buckets": {str(b): p for b, p in sorted(buckets.items())},
+            "epochs": prev["epochs"] + [{"epoch": epoch, **stats}],
+        }
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.path)

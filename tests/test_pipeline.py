@@ -1,0 +1,98 @@
+"""End-to-end Ray Data ingest pipeline tests on sf0.001.
+
+Oracle expectations are derived analytically from the deterministic event
+rules in sources/cdc_gen.py (versions = doc_id%3+1, tombstone = doc_id%7==0),
+independently of the engine code paths.
+"""
+
+import collections
+
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+
+@pytest.fixture(scope="module")
+def docs_meta(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return {r["doc_id"]: r["text"] for r in t.to_pylist()}
+
+
+def expected_live_docs(docs_meta):
+    return {d: t for d, t in docs_meta.items() if d % 7 != 0}
+
+
+class TestTableState:
+    def test_root_final_state(self, ray_session, sf_dir, docs_meta):
+        cfg = ingest.default_config()
+        plan = ingest.default_plan(cfg)
+        env = ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg, concurrency=2)
+        out = ingest.table_state(env, plan, "cdc_filechange").take_all()
+        live = expected_live_docs(docs_meta)
+        assert len(out) == len(live)
+        by_path = {r["filechangekey_path"]: r for r in out}
+        for d in list(live)[:50]:
+            r = by_path[f"src/doc_{d}.txt"]
+            assert r["version"] == d % 3  # last version wins
+            assert r["kafkaoffset"] == d * 4 + d % 3
+            assert r["repo"] == f"repo_{d % 20}"
+
+    def test_lines_final_state(self, ray_session, sf_dir, docs_meta):
+        cfg = ingest.default_config()
+        plan = ingest.default_plan(cfg)
+        env = ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg, concurrency=2)
+        out = ingest.table_state(env, plan, "cdc_filechange_lines").take_all()
+        live = expected_live_docs(docs_meta)
+        exp_rows = sum(len(t.split("\n")) for t in live.values())
+        assert len(out) == exp_rows
+        # every surviving line carries the final version prefix
+        for r in out[:100]:
+            d = int(r["filechangekey_path"].split("doc_")[1].split(".")[0])
+            assert r["line"].startswith(f"v{d % 3}:")
+
+    def test_insert_mode_accumulates(self, ray_session, sf_dir, docs_meta):
+        cfg = ingest.default_config(insert_mode="insert", delete_enabled=False,
+                                    pk_mode="flatten")
+        plan = ingest.default_plan(cfg)
+        events = ingest.event_stream(sf_dir, include_tombstones=False)
+        env = ingest.flatten_envelopes(events, cfg, concurrency=2)
+        out = ingest.table_state(env, plan, "cdc_filechange").take_all()
+        exp = sum(d % 3 + 1 for d in docs_meta)  # every version appended
+        assert len(out) == exp
+
+
+class TestLakeEpochs:
+    def test_run_epoch_and_resume(self, ray_session, sf_dir, docs_meta, tmp_path):
+        lake = str(tmp_path / "lake")
+        res = ingest.run_epoch(sf_dir, lake, concurrency=2)
+        assert res["epoch"] == 0
+        live = expected_live_docs(docs_meta)
+        root = ingest.read_lake_table(lake, "cdc_filechange").take_all()
+        assert len(root) == len(live)
+
+        # second epoch: no new events -> state unchanged, checkpoint advances
+        res2 = ingest.run_epoch(sf_dir, lake, concurrency=2)
+        assert res2["epoch"] == 1
+        root2 = ingest.read_lake_table(lake, "cdc_filechange").take_all()
+        assert len(root2) == len(live)
+        assert res2["offsets"] == res["offsets"]
+
+    def test_replay_idempotent(self, ray_session, sf_dir, tmp_path):
+        # replaying the full log into an existing lake must not change state
+        lake = str(tmp_path / "lake2")
+        ingest.run_epoch(sf_dir, lake, concurrency=2)
+        state1 = sorted(
+            (r["filechangekey_path"], r["version"])
+            for r in ingest.read_lake_table(lake, "cdc_filechange").take_all()
+        )
+        # wipe the checkpoint so the full log replays on top of current state
+        import shutil
+
+        shutil.rmtree(f"{lake}/_checkpoints")
+        ingest.run_epoch(sf_dir, lake, concurrency=2)
+        state2 = sorted(
+            (r["filechangekey_path"], r["version"])
+            for r in ingest.read_lake_table(lake, "cdc_filechange").take_all()
+        )
+        assert state1 == state2
