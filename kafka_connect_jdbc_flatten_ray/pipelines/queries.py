@@ -1,0 +1,286 @@
+"""Driver-facing queries and their DuckDB oracle SQL.
+
+Each query runs a real Ray Data pipeline over ``{sf_dir}/*.parquet``; its
+oracle computes the identical result analytically in ANSI SQL from the same
+tables (the event-derivation rules in sources/cdc_gen.py are pure integer /
+string arithmetic precisely so the oracle can re-derive the FINAL merged
+state without replaying — an independent implementation of the semantics).
+
+Column names match the Ray outputs exactly (the driver hashes values under
+sorted column names).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+from kafka_connect_jdbc_flatten_ray.sources import queriers
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# the deterministic per-document derivations (must mirror cdc_gen.py)
+_D = """
+WITH d AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         doc_id % 3 AS maxv,
+         'repo_' || (doc_id % 20) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path
+  FROM documents
+)
+"""
+
+_COORDS = """
+  'cdc' AS kafkatopic,
+  CAST(doc_id % 8 AS INTEGER) AS kafkapartition,
+  CAST(doc_id * 4 + {v} AS BIGINT) AS kafkaoffset,
+  epoch_ms(1600000000000 + (doc_id * 4 + {v}) * 1000) AS kafkatimestamp,
+  'CreateTime' AS kafkatimestamp_type
+"""
+
+
+def _root_select(v: str) -> str:
+    return f"""
+SELECT
+  repo AS filechangekey_repo,
+  path AS filechangekey_path,
+  repo, path,
+  'c' || ((doc_id * 2654435761 + {v}) % 1000000007) AS commit_id,
+  lang AS lang,
+  CAST({v} AS INTEGER) AS version,
+  CAST(n_chars + {v} AS BIGINT) AS "size",
+  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  {_COORDS.format(v=v)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC flatten pipelines (upsert replay final state)
+# ---------------------------------------------------------------------------
+
+
+def _upsert_state(sf_dir: str, table: str) -> ray.data.Dataset:
+    cfg = ingest.default_config()
+    plan = ingest.default_plan(cfg)
+    env = ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg)
+    return ingest.table_state(env, plan, table)
+
+
+def cdc_root_upsert(sf_dir: str) -> ray.data.Dataset:
+    """Final state of the root table after full upsert+tombstone replay."""
+    return _upsert_state(sf_dir, "cdc_filechange")
+
+
+def cdc_lines_upsert(sf_dir: str) -> ray.data.Dataset:
+    """Final state of the exploded array child table (F4 + W2 clears)."""
+    return _upsert_state(sf_dir, "cdc_filechange_lines")
+
+
+def cdc_attrs_upsert(sf_dir: str) -> ray.data.Dataset:
+    """Final state of the exploded map child table (F5 + W2 clears)."""
+    return _upsert_state(sf_dir, "cdc_filechange_attrs")
+
+
+ORACLE_ROOT_UPSERT = _D + _root_select("maxv") + "FROM d WHERE doc_id % 7 <> 0"
+
+ORACLE_LINES_UPSERT = _D + f"""
+, l AS (
+  SELECT *, string_split(text, chr(10)) AS ls FROM d WHERE doc_id % 7 <> 0
+)
+SELECT
+  repo AS filechangekey_repo,
+  path AS filechangekey_path,
+  CAST(unnest(range(1, len(ls) + 1)) AS INTEGER) AS lineno,
+  unnest(list_transform(ls, x -> 'v' || maxv || ':' || x)) AS line,
+  {_COORDS.format(v="maxv")}
+FROM l
+"""
+
+ORACLE_ATTRS_UPSERT = _D + f"""
+SELECT
+  repo AS filechangekey_repo,
+  path AS filechangekey_path,
+  unnest([lang, source]) AS attrs,
+  unnest(['lang', 'source']) AS filechange_attrs_key,
+  {_COORDS.format(v="maxv")}
+FROM d WHERE doc_id % 7 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC flatten pipelines (insert mode: every version appended, no tombstones)
+# ---------------------------------------------------------------------------
+
+
+def _insert_state(sf_dir: str, table: str, cfg=None) -> ray.data.Dataset:
+    cfg = cfg or ingest.default_config(insert_mode="insert", delete_enabled=False)
+    plan = ingest.default_plan(cfg)
+    events = ingest.event_stream(sf_dir, include_tombstones=False)
+    env = ingest.flatten_envelopes(events, cfg)
+    return ingest.table_state(env, plan, table)
+
+
+def cdc_root_insert(sf_dir: str) -> ray.data.Dataset:
+    """Append-mode root table: one row per (doc, version)."""
+    return _insert_state(sf_dir, "cdc_filechange")
+
+
+def cdc_lines_insert(sf_dir: str) -> ray.data.Dataset:
+    return _insert_state(sf_dir, "cdc_filechange_lines")
+
+
+_V = _D + """
+, v AS (
+  SELECT d.*, unnest(range(maxv + 1)) AS v FROM d
+)
+"""
+
+ORACLE_ROOT_INSERT = _V + _root_select("v") + "FROM v"
+
+ORACLE_LINES_INSERT = _V + f"""
+, l AS (SELECT *, string_split(text, chr(10)) AS ls FROM v)
+SELECT
+  repo AS filechangekey_repo,
+  path AS filechangekey_path,
+  CAST(unnest(range(1, len(ls) + 1)) AS INTEGER) AS lineno,
+  unnest(list_transform(ls, x -> 'v' || v || ':' || x)) AS line,
+  {_COORDS.format(v="v")}
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
+# Config variants: renames + whitelist (F11-F13), uppercase (F14)
+# ---------------------------------------------------------------------------
+
+
+def cdc_renamed_whitelist(sf_dir: str) -> ray.data.Dataset:
+    """Whitelist keeps only root-level leaves; commit_id renamed to sha;
+    table renamed to 'files' (JdbcSinkTaskTestPostgresArray.java:773-994)."""
+    cfg = ingest.default_config(
+        insert_mode="insert",
+        delete_enabled=False,
+        whitelist=("filechange",),
+        rename_fields=(("filechange.commit_id", "sha"),),
+        rename_tables=(("cdc_filechange", "files"),),
+    )
+    return _insert_state(sf_dir, "files", cfg)
+
+
+ORACLE_RENAMED_WHITELIST = _V + f"""
+SELECT
+  repo AS filechangekey_repo,
+  path AS filechangekey_path,
+  repo, path,
+  'c' || ((doc_id * 2654435761 + v) % 1000000007) AS sha,
+  lang,
+  CAST(v AS INTEGER) AS version,
+  CAST(n_chars + v AS BIGINT) AS "size",
+  {_COORDS.format(v="v")}
+FROM v
+"""
+
+
+def cdc_root_upsert_uppercase(sf_dir: str) -> ray.data.Dataset:
+    """Uppercase naming variant of the upsert root state
+    (JdbcSinkTaskTestPostgresArrayDelete.java:625-809)."""
+    cfg = ingest.default_config(uppercase=True)
+    plan = ingest.default_plan(cfg)
+    env = ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg)
+    return ingest.table_state(env, plan, "CDC_FILECHANGE")
+
+
+def _uppercase_aliases(sql: str) -> str:
+    import re
+
+    return re.sub(r'AS ("?)([a-z_]+)\1', lambda m: f'AS "{m.group(2).upper()}"', sql)
+
+
+ORACLE_ROOT_UPSERT_UPPERCASE = _uppercase_aliases(ORACLE_ROOT_UPSERT)
+
+
+# ---------------------------------------------------------------------------
+# Source-code table (input_hint shape)
+# ---------------------------------------------------------------------------
+
+
+def source_code_table(sf_dir: str) -> ray.data.Dataset:
+    from kafka_connect_jdbc_flatten_ray.sources.cdc_gen import source_code_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(source_code_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SOURCE_CODE = """
+SELECT 'repo_' || (doc_id % 20) AS repo,
+       'src/doc_' || doc_id || '.txt' AS path,
+       'c' || ((doc_id * 2654435761) % 1000000007) AS commit_id,
+       lang,
+       text AS content
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+ORACLE_SOURCE_BULK = "SELECT event_id, ts, user_id, event_type, value FROM events"
+
+ORACLE_SOURCE_INCREMENTING = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE event_id > (SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events)
+"""
+
+ORACLE_SOURCE_TIMESTAMP = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ts > (SELECT MIN(ts) FROM events) + INTERVAL 1 HOUR
+  AND ts <= (SELECT MAX(ts) FROM events) - INTERVAL 5 MINUTE
+"""
+
+ORACLE_SOURCE_TS_INC = """
+WITH mid AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS i FROM events),
+t AS (SELECT MAX(ts) AS t FROM events WHERE event_id <= (SELECT i FROM mid))
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ts > (SELECT t FROM t)
+   OR (ts = (SELECT t FROM t) AND event_id > (SELECT i FROM mid))
+"""
+
+
+def cdc_queries() -> dict:
+    return {
+        "source_code_table": source_code_table,
+        "cdc_root_upsert": cdc_root_upsert,
+        "cdc_lines_upsert": cdc_lines_upsert,
+        "cdc_attrs_upsert": cdc_attrs_upsert,
+        "cdc_root_insert": cdc_root_insert,
+        "cdc_lines_insert": cdc_lines_insert,
+        "cdc_renamed_whitelist": cdc_renamed_whitelist,
+        "cdc_root_upsert_uppercase": cdc_root_upsert_uppercase,
+        "source_bulk": queriers.source_bulk,
+        "source_incrementing": queriers.source_incrementing,
+        "source_timestamp": queriers.source_timestamp,
+        "source_timestamp_incrementing": queriers.source_timestamp_incrementing,
+    }
+
+
+def cdc_oracles() -> dict:
+    return {
+        "source_code_table": ORACLE_SOURCE_CODE,
+        "cdc_root_upsert": ORACLE_ROOT_UPSERT,
+        "cdc_lines_upsert": ORACLE_LINES_UPSERT,
+        "cdc_attrs_upsert": ORACLE_ATTRS_UPSERT,
+        "cdc_root_insert": ORACLE_ROOT_INSERT,
+        "cdc_lines_insert": ORACLE_LINES_INSERT,
+        "cdc_renamed_whitelist": ORACLE_RENAMED_WHITELIST,
+        "cdc_root_upsert_uppercase": ORACLE_ROOT_UPSERT_UPPERCASE,
+        "source_bulk": ORACLE_SOURCE_BULK,
+        "source_incrementing": ORACLE_SOURCE_INCREMENTING,
+        "source_timestamp": ORACLE_SOURCE_TIMESTAMP,
+        "source_timestamp_incrementing": ORACLE_SOURCE_TS_INC,
+    }
