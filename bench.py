@@ -1,0 +1,160 @@
+"""Benchmark harness.
+
+Headline: full CDC ingest replay (tail -> flatten -> hash-shuffle merge ->
+Parquet lake commit) over a synthetic change-event stream derived from
+``$GRAFT_SF_DIR/documents.parquet`` (default /root/testdata/sf0.1),
+replicated ``BENCH_REPLICATE`` times (default 50 -> ~10^6 events at sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "events": E,
+     "events_per_sec": ...}
+
+``--scaling``: runs the headline job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs plus
+scaling efficiency (the in-sandbox evidence for the N -> 4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "50"))
+
+
+def _init_ray():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _warm_cache():
+    # one untimed read so we measure compute + shuffle, not cold disk,
+    # and one trivial pipeline so Ray worker processes are already spawned
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pq.read_table(f"{SF_DIR}/documents.parquet")
+    pq.read_table(f"{SF_DIR}/events.parquet")
+    rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b
+    ).count()
+
+
+def headline() -> dict:
+    from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+    import pyarrow.parquet as pq
+
+    did = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    n_events = int(((did % 3) + 1 + (did % 7 == 0)).sum()) * REPLICATE
+
+    lake = tempfile.mkdtemp(prefix="kcjf_bench_lake_")
+    try:
+        t0 = time.perf_counter()
+        res = ingest.run_epoch(
+            SF_DIR,
+            lake,
+            replicate=REPLICATE,
+            concurrency=(2, max(4, NUM_CPUS // 2)),
+        )
+        sec = time.perf_counter() - t0
+        return {"sec": sec, "events": n_events, "events_per_sec": n_events / sec,
+                "tables": res["tables"]}
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def run_queries() -> dict:
+    from kafka_connect_jdbc_flatten_ray.pipelines import queries as q
+
+    timings = {}
+    sel = [
+        "cdc_root_upsert",
+        "cdc_lines_upsert",
+        "cdc_attrs_upsert",
+        "cdc_root_insert",
+        "source_incrementing",
+        "source_timestamp",
+    ]
+    qs = q.cdc_queries()
+    for name in sel:
+        t0 = time.perf_counter()
+        ds = qs[name](SF_DIR)
+        if hasattr(ds, "count"):
+            ds.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def run_single() -> dict:
+    _init_ray()
+    _warm_cache()
+    h = headline()
+    qt = run_queries()
+    out = {
+        "metric": "cdc_flatten_upsert_replay",
+        "value": round(h["sec"], 3),
+        "unit": "sec",
+        "queries": qt,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": h["events"],
+        "events_per_sec": round(h["events_per_sec"], 1),
+    }
+    import ray
+
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_8_to_32_cpus",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "events_per_sec_8": lo["events_per_sec"],
+        "events_per_sec_32": hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "events": hi["events"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_single()))

@@ -64,9 +64,27 @@ def event_stream(
     num_partitions: int = 8,
     include_tombstones: bool = True,
     replicate: int = 1,
+    num_blocks: int | None = None,
 ) -> ray.data.Dataset:
-    """The change-event tail: documents -> deterministic CDC log."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLUMNS)
+    """The change-event tail: documents -> deterministic CDC log.
+
+    The documents read is split into blocks sized so that generation and the
+    downstream flatten parallelize across the pool even when the source is a
+    single small Parquet file; EventGen additionally yields bounded-size
+    event batches regardless of the replication factor.
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    if num_blocks is None:
+        n_docs = pq.ParquetFile(path).metadata.num_rows
+        # ~2.2 events/doc; target a few thousand docs' worth of events per block
+        num_blocks = max(1, min(256, (n_docs * replicate) // 4000))
+    docs = ray.data.read_parquet(
+        path,
+        columns=DOC_COLUMNS,
+        override_num_blocks=num_blocks,
+    )
     gen = EventGen(
         num_partitions=num_partitions,
         include_tombstones=include_tombstones,
@@ -103,9 +121,16 @@ def flatten_envelopes(
     value_schema_name: str | None = VALUE_SCHEMA_NAME,
     key_schema_name: str | None = KEY_SCHEMA_NAME,
     concurrency=(2, 8),
-    batch_size: int = 4096,
+    batch_size: int | None = None,
 ) -> ray.data.Dataset:
-    """The stateful flatten stage (actor pool; plan cache per actor — ST1)."""
+    """The stateful flatten stage (actor pool; plan cache per actor — ST1).
+
+    ``batch_size=None`` processes block-sized batches: when fused with the
+    event generator the flatten runs directly on each generated event batch
+    (EventGen already targets a bounded events-per-batch) instead of
+    re-bundling upstream blocks — re-bundling would serialize the pipeline
+    into very few giant tasks.
+    """
     return events.map_batches(
         FlattenStage,
         fn_constructor_args=(cfg, topic, value_schema_name, key_schema_name),

@@ -121,19 +121,40 @@ class EventGen:
         include_tombstones: bool = True,
         replicate: int = 1,
         id_stride: int = 10_000_000,
+        target_events_per_batch: int = 16384,
     ):
         self.num_partitions = num_partitions
         self.include_tombstones = include_tombstones
         self.replicate = replicate
         self.id_stride = id_stride
+        self.target = target_events_per_batch
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = [self._gen(batch, r * self.id_stride) for r in range(self.replicate)]
-        return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+    def __call__(self, batch: pa.Table):
+        # yield batches of ~target_events_per_batch events (grouping replicas
+        # as needed) so downstream batch sizes stay bounded and useful
+        # regardless of input block size and replication factor
+        n = batch.num_rows
+        if n == 0:
+            return
+        per_replica = max(1, int(n * 2.2))  # ~avg events per doc
+        k = max(1, self.target // per_replica)
+        base = np.arange(n, dtype=np.int64)
+        for start in range(0, self.replicate, k):
+            chunk = range(start, min(start + k, self.replicate))
+            if len(chunk) == 1:
+                sub, extra = batch, np.int64(chunk[0] * self.id_stride)
+                yield self._gen(sub, extra)
+            else:
+                tile = np.tile(base, len(chunk))
+                sub = batch.take(pa.array(tile))
+                offs = np.repeat(
+                    np.array([r * self.id_stride for r in chunk], np.int64), n
+                )
+                yield self._gen(sub, offs)
 
-    def _gen(self, batch: pa.Table, id_offset: int) -> pa.Table:
+    def _gen(self, batch: pa.Table, id_offset) -> pa.Table:
         did0 = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        did0 = did0 + np.int64(id_offset)
+        did0 = did0 + id_offset
         n_docs = len(did0)
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):

@@ -1,0 +1,183 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All hot paths are vectorized (pyarrow.compute / numpy over flattened token
+arrays); stopword sets and compiled state live in actor ``__init__``.
+
+Operators:
+- token counting (whitespace tokens; SQL-parity with string_split)
+- quality scoring (char/word/punct/stopword counts — integer metrics so a
+  DuckDB oracle reproduces them exactly)
+- language id (stopword-hit argmax over 4 language sets with a fixed
+  priority tie-break, SQL-expressible)
+- document fingerprinting (64-bit polynomial rolling hash over bytes,
+  vectorized with segmented modpow — not SQL-expressible; rows-only check)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# fixed stopword sets (priority order for ties: en > de > fr > es)
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+# polynomial fingerprint base; arithmetic is mod 2^64 (natural uint64 wrap)
+BASE = np.uint64(1000003)
+
+
+def _tokens(text: pa.Array):
+    """(flat tokens, parent doc indices, tokens-per-doc) via single-space
+    split — matches DuckDB ``string_split(text, ' ')``."""
+    toks = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = np.repeat(np.arange(len(text), dtype=np.int64), lens)
+    return pc.list_flatten(toks), parent, lens
+
+
+def _count_hits(flat: pa.Array, parent: np.ndarray, n_docs: int, words) -> np.ndarray:
+    hits = pc.is_in(flat, value_set=pa.array(list(words))).to_numpy(
+        zero_copy_only=False
+    )
+    out = np.zeros(n_docs, np.int64)
+    np.add.at(out, parent[hits], 1)
+    return out
+
+
+class TokenCount:
+    """doc -> whitespace token count."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _, _, lens = _tokens(text)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(lens, pa.int64())}
+        )
+
+
+class QualityScore:
+    """Integer quality metrics: n_chars, n_tokens, punct_chars, stop_hits."""
+
+    def __init__(self):
+        self.stop = STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        flat, parent, lens = _tokens(text)
+        stop_hits = _count_hits(flat, parent, n, self.stop)
+        n_chars = pc.utf8_length(text)
+        # punct = chars that are not alnum and not space
+        stripped = pc.replace_substring_regex(text, r"[A-Za-z0-9 ]", "")
+        punct = pc.utf8_length(stripped)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "punct_chars": pc.cast(punct, pa.int64()),
+                "stop_hits": pa.array(stop_hits, pa.int64()),
+            }
+        )
+
+
+class LangId:
+    """Stopword-hit language guess with fixed priority tie-break."""
+
+    def __init__(self):
+        self.sets = {k: v for k, v in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        flat, parent, _ = _tokens(text)
+        counts = {k: _count_hits(flat, parent, n, v) for k, v in self.sets.items()}
+        guess = np.empty(n, dtype=object)
+        # priority argmax: first language whose count >= all later ones
+        c = [counts[k] for k in LANG_PRIORITY]
+        guess[:] = LANG_PRIORITY[3]
+        m3 = c[2] >= c[3]
+        guess[m3] = LANG_PRIORITY[2]
+        m2 = (c[1] >= c[2]) & (c[1] >= c[3])
+        guess[m2] = LANG_PRIORITY[1]
+        m1 = (c[0] >= c[1]) & (c[0] >= c[2]) & (c[0] >= c[3])
+        guess[m1] = LANG_PRIORITY[0]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_guess": pa.array(list(guess), pa.string()),
+                "hits_en": pa.array(counts["en"], pa.int64()),
+                "hits_de": pa.array(counts["de"], pa.int64()),
+                "hits_fr": pa.array(counts["fr"], pa.int64()),
+                "hits_es": pa.array(counts["es"], pa.int64()),
+            }
+        )
+
+
+def _segmented_pow64(base: np.uint64, exps: np.ndarray) -> np.ndarray:
+    """base**exps mod 2^64 (natural wrap), vectorized exp-by-squaring."""
+    result = np.ones(len(exps), np.uint64)
+    b = np.uint64(base)
+    e = exps.astype(np.uint64).copy()
+    with np.errstate(over="ignore"):
+        while e.any():
+            odd = (e & np.uint64(1)).astype(bool)
+            if odd.any():
+                result[odd] = result[odd] * b
+            b = b * b
+            e >>= np.uint64(1)
+    return result
+
+
+class Fingerprint:
+    """64-bit polynomial rolling-hash fingerprint of the document bytes.
+
+    hash(doc) = sum_i byte_i * BASE^(n-1-i)  (mod 2^64), computed over ALL
+    documents at once on the flattened byte buffer — uint64 wraparound IS
+    the modulus, so np.add.at segmented sums are exact."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        b = pc.cast(text, pa.large_binary())
+        if b.null_count:
+            b = pc.fill_null(b, b"")
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        off_buf = np.frombuffer(
+            b.buffers()[1], np.int64, count=n + 1, offset=b.offset * 8
+        )
+        lens = np.diff(off_buf)
+        total = int(off_buf[-1] - off_buf[0])
+        flat = np.frombuffer(
+            b.buffers()[2], np.uint8, count=total, offset=int(off_buf[0])
+        ).astype(np.uint64)
+        parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+        ends = np.cumsum(lens)
+        pos = np.arange(total, dtype=np.int64)
+        exps = (ends[parent] - 1) - pos
+        powers = _segmented_pow64(BASE, exps)
+        with np.errstate(over="ignore"):
+            terms = powers * flat
+        acc = np.zeros(n, np.uint64)
+        np.add.at(acc, parent, terms)  # wraps mod 2^64 = the hash modulus
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(acc.view(np.int64), pa.int64()),
+            }
+        )
