@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "50"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "100"))
 
 
 def _init_ray():

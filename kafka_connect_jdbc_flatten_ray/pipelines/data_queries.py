@@ -1,0 +1,168 @@
+"""Training-data pipeline queries (dedup / text analysis / ANN) and their
+DuckDB oracles where SQL-expressible.
+
+SQL-expressible (full value-hash oracle): exact dedup, token count, quality
+metrics, language id, brute-force ANN top-k.
+Rows-only (driver records weaker check): MinHash/SimHash/ngram/embedding
+near-dup pairs (LSH randomness is seeded and deterministic but not SQL),
+document fingerprint (mod-2^64 polynomial hash), IVF ANN.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages import ann, dedup, textops
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.dedup_exact(_docs(sf_dir))
+
+
+def q_dedup_minhash(sf_dir: str):
+    return dedup.dedup_minhash_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    return dedup.dedup_simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_dedup_ngram(sf_dir: str):
+    return dedup.dedup_ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_dedup_embedding(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0).slice(0, 1)
+    dim = len(t.column("embedding")[0])
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return dedup.dedup_embedding_pairs(emb, dim, threshold=0.35)
+
+
+def q_token_count(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        textops.TokenCount(), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_text_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        textops.QualityScore, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        textops.LangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        textops.Fingerprint(), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    return ann.ann_topk(sf_dir, k=5, num_queries=8)
+
+
+def q_ann_ivf(sf_dir: str):
+    return ann.ann_topk_ivf(sf_dir, k=5, num_queries=8)
+
+
+_STOP = "'the','and','of','to','a','in','is','it'"
+
+ORACLE_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP}))) AS BIGINT) AS stop_hits
+FROM documents
+"""
+
+
+def _hits(words: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS BIGINT)"
+
+
+ORACLE_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_hits(textops.STOPWORDS['en'])} AS hits_en,
+         {_hits(textops.STOPWORDS['de'])} AS hits_de,
+         {_hits(textops.STOPWORDS['fr'])} AS hits_fr,
+         {_hits(textops.STOPWORDS['es'])} AS hits_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+            WHEN hits_fr >= hits_es THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       hits_en, hits_de, hits_fr, hits_es
+FROM h
+"""
+
+ORACLE_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe
+  FROM embeddings WHERE vec_id < 8
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+)
+SELECT qid AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, cos
+FROM s QUALIFY rank <= 5
+"""
+
+
+def data_queries() -> dict:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "dedup_ngram_jaccard_pairs": q_dedup_ngram,
+        "dedup_embedding_pairs": q_dedup_embedding,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_ivf,
+    }
+
+
+def data_oracles() -> dict:
+    return {
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "token_count": ORACLE_TOKEN_COUNT,
+        "text_quality": ORACLE_TEXT_QUALITY,
+        "lang_id": ORACLE_LANG_ID,
+        "ann_cosine_topk": ORACLE_ANN_TOPK,
+        # minhash/simhash/ngram/embedding pairs, fingerprint, ivf: rows-only
+    }

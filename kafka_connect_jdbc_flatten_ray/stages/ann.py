@@ -1,0 +1,201 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+- Brute-force cosine top-k: the query matrix is broadcast once (ray.put)
+  and each batch computes a numpy matmul against it, emitting only its
+  LOCAL top-k rows per query (a combiner) — the global reduce then sees
+  #batches * k rows per query instead of the whole table. This is the
+  baseline and the scale path for modest query counts.
+- IVF-style variant: vectors are bucketed by nearest of C coarse centroids
+  (deterministic seeded sample); queries probe only their nearest buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _mat(emb_col) -> np.ndarray:
+    emb = emb_col.combine_chunks() if isinstance(emb_col, pa.ChunkedArray) else emb_col
+    flat = emb.values.to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=np.float32).reshape(len(emb), -1)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    # float64 throughout: keeps the cosine values oracle-comparable
+    # (DuckDB list_cosine_similarity over DOUBLE[]) after 6-decimal rounding
+    m = m.astype(np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """map_batches callable: per-batch partial top-k against the broadcast
+    query matrix (queries fetched from the object store once per actor)."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.q_ids, self.q_mat = q  # (ids, unit matrix [Q, dim])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _unit(_mat(batch.column("embedding")))
+        sims = self.q_mat @ m.T  # [Q, B]
+        out_q, out_v, out_c = [], [], []
+        k = min(self.k + 1, sims.shape[1])
+        for qi, qid in enumerate(self.q_ids):
+            s = sims[qi]
+            top = np.argpartition(-s, k - 1)[:k]
+            for t in top:
+                if ids[t] != qid:
+                    out_q.append(qid)
+                    out_v.append(ids[t])
+                    out_c.append(s[t])
+        return pa.table(
+            {
+                "query_id": pa.array(np.array(out_q, np.int64)),
+                "vec_id": pa.array(np.array(out_v, np.int64)),
+                "cos": pa.array(np.array(out_c, np.float64)),
+            }
+        )
+
+
+def _global_topk(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cos_r"] = g["cos"].round(6)
+        g = g.sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cos_r"]].rename(
+            columns={"cos_r": "cos"}
+        )
+
+    fn.__name__ = "global_topk"
+    return fn
+
+
+def load_queries(sf_dir: str, num_queries: int):
+    """Deterministic query set: the first ``num_queries`` vec_ids."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc_
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc_.less(t.column("vec_id"), num_queries))
+    t = t.sort_by("vec_id")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = _unit(_mat(t.column("embedding")).astype(np.float32))
+    return ids, mat
+
+
+def ann_topk(
+    sf_dir: str, k: int = 5, num_queries: int = 8
+) -> ray.data.Dataset:
+    """Brute-force cosine top-k (rank, vec_id, rounded cos) per query."""
+    q = load_queries(sf_dir, num_queries)
+    qref = ray.put(q)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return partial.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
+
+
+class IVFAssign:
+    """Assign each vector to its nearest coarse centroid (bucket)."""
+
+    def __init__(self, centroids_ref):
+        self.centroids = (
+            ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray)
+            else centroids_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _unit(_mat(batch.column("embedding")))
+        sims = m @ self.centroids.T
+        return batch.append_column(
+            "ivf_bucket", pa.array(sims.argmax(axis=1).astype(np.int32))
+        )
+
+
+def ivf_centroids(sf_dir: str, num_centroids: int = 16) -> np.ndarray:
+    """Deterministic coarse centroids: every (n // C)-th vector, normalized."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = _unit(_mat(t.column("embedding")))
+    step = max(1, len(m) // num_centroids)
+    return m[::step][:num_centroids]
+
+
+def ann_topk_ivf(
+    sf_dir: str, k: int = 5, num_queries: int = 8, num_centroids: int = 16,
+    nprobe: int = 4,
+) -> ray.data.Dataset:
+    """IVF-bucketed ANN: search only the nprobe buckets nearest each query.
+    Approximate — recall measured against the brute-force baseline in tests."""
+    cents = ivf_centroids(sf_dir, num_centroids)
+    q_ids, q_mat = load_queries(sf_dir, num_queries)
+    probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]  # [Q, nprobe]
+    cref = ray.put(cents)
+    # queries grouped by the buckets they probe
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for b in probe[qi]:
+            bucket_to_q.setdefault(int(b), []).append(qi)
+    qref = ray.put((q_ids, q_mat, bucket_to_q))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_args=(cref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+
+    class ProbeTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.b2q = ray.get(qref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            buckets = batch.column("ivf_bucket").to_numpy(zero_copy_only=False)
+            m = _unit(_mat(batch.column("embedding")))
+            out_q, out_v, out_c = [], [], []
+            for b in np.unique(buckets):
+                qis = self.b2q.get(int(b))
+                if not qis:
+                    continue
+                sel = buckets == b
+                sub_ids, sub = ids[sel], m[sel]
+                sims = self.q_mat[qis] @ sub.T
+                kk = min(self.k + 1, sims.shape[1])
+                for row, qi in enumerate(qis):
+                    s = sims[row]
+                    top = np.argpartition(-s, kk - 1)[:kk]
+                    for t in top:
+                        if sub_ids[t] != self.q_ids[qi]:
+                            out_q.append(self.q_ids[qi])
+                            out_v.append(sub_ids[t])
+                            out_c.append(s[t])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.array(out_q, np.int64)),
+                    "vec_id": pa.array(np.array(out_v, np.int64)),
+                    "cos": pa.array(np.array(out_c, np.float64)),
+                }
+            )
+
+    partial = assigned.map_batches(
+        ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    return partial.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")

@@ -1,0 +1,407 @@
+"""Deduplication operators over the ``documents`` table.
+
+All per-batch work is vectorized numpy/pyarrow over flattened token/shingle
+arrays; the only wide ops are groupbys on compact hash keys (never on the
+raw text), which is what keeps these runnable at 100 TB:
+
+- exact:     two independent 64-bit content fingerprints -> groupby the
+             128-bit pair -> keep min doc_id (no text moves in the shuffle)
+- minhash:   word-shingle MinHash signatures -> LSH banding -> per-band
+             buckets -> star-pattern candidate pairs (linear, not quadratic,
+             in bucket size) verified by signature-estimated Jaccard
+- ngram:     same machinery with character n-gram shingles
+- simhash:   64-bit SimHash -> 16-bit band pigeonhole -> pairs verified by
+             Hamming distance
+- embedding: cosine near-dup pairs, LSH (random hyperplane) bucketed
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+U64 = np.uint64
+_A = U64(0x9E3779B97F4A7C15)
+_B = U64(0xC2B2AE3D27D4EB4F)
+_C = U64(0x165667B19E3779F9)
+
+
+def _text_col(batch: pa.Table) -> pa.Array:
+    t = batch.column("text")
+    return t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+
+
+def _token_hashes(text: pa.Array):
+    """(flat token hashes uint64, parent doc idx, tokens-per-doc)."""
+    toks = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = np.repeat(np.arange(len(text), dtype=np.int64), lens)
+    flat = pc.list_flatten(toks)
+    h = pd.util.hash_pandas_object(
+        pd.Series(flat.to_numpy(zero_copy_only=False)), index=False
+    ).to_numpy()
+    return h.astype(U64), parent, lens
+
+
+def _char_ngram_hashes(text: pa.Array, n: int = 5):
+    """Rolling char n-gram hashes per doc from the flat utf8 byte buffer."""
+    b = pc.cast(text, pa.large_binary())
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    nrows = len(b)
+    off = np.frombuffer(b.buffers()[1], np.int64, count=nrows + 1, offset=b.offset * 8)
+    lens = np.diff(off)
+    flat = np.frombuffer(
+        b.buffers()[2], np.uint8, count=int(off[-1] - off[0]), offset=int(off[0])
+    ).astype(U64)
+    parent = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    with np.errstate(over="ignore"):
+        h = flat * _A
+        for k in range(1, n):
+            h[:-k] = h[:-k] * _B + flat[k:] * _A
+    # an n-gram starting at i is valid if i+n-1 is in the same doc
+    valid = np.zeros(len(flat), bool)
+    if len(flat) >= n:
+        valid[: len(flat) - (n - 1)] = parent[: len(flat) - (n - 1)] == parent[n - 1:]
+    return h[valid], parent[valid]
+
+
+def _shingle_hashes_words(text: pa.Array, k: int = 3):
+    th, parent, _ = _token_hashes(text)
+    with np.errstate(over="ignore"):
+        sh = th * _A
+        for i in range(1, k):
+            sh[:-i] = sh[:-i] * _B + th[i:] * _C
+    valid = np.zeros(len(th), bool)
+    if len(th) >= k:
+        valid[: len(th) - (k - 1)] = parent[: len(th) - (k - 1)] == parent[k - 1:]
+    return sh[valid], parent[valid]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _fingerprints(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit polynomial hashes of the raw bytes."""
+    b = pc.cast(text, pa.large_binary())
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    n = len(b)
+    off = np.frombuffer(b.buffers()[1], np.int64, count=n + 1, offset=b.offset * 8)
+    lens = np.diff(off)
+    flat = np.frombuffer(
+        b.buffers()[2], np.uint8, count=int(off[-1] - off[0]), offset=int(off[0])
+    ).astype(U64)
+    parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+    ends = np.cumsum(lens)
+    pos = np.arange(len(flat), dtype=np.int64)
+    exps = (ends[parent] - 1) - pos
+    out = []
+    for base in (U64(1000003), U64(31)):
+        powers = _pow64(base, exps)
+        with np.errstate(over="ignore"):
+            terms = powers * flat
+        acc = np.zeros(n, U64)
+        np.add.at(acc, parent, terms)
+        # fold in the length so prefix collisions differ
+        with np.errstate(over="ignore"):
+            acc = acc * _A + lens.astype(U64)
+        out.append(acc)
+    return out[0], out[1]
+
+
+def _pow64(base: U64, exps: np.ndarray) -> np.ndarray:
+    result = np.ones(len(exps), U64)
+    b = U64(base)
+    e = exps.astype(U64).copy()
+    with np.errstate(over="ignore"):
+        while e.any():
+            odd = (e & U64(1)).astype(bool)
+            if odd.any():
+                result[odd] = result[odd] * b
+            b = b * b
+            e >>= U64(1)
+    return result
+
+
+def _hash_stage(batch: pa.Table) -> pa.Table:
+    h1, h2 = _fingerprints(_text_col(batch))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+        }
+    )
+
+
+def dedup_exact(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep min(doc_id) per distinct content; shuffles only (h1, h2, doc_id)."""
+    hashed = docs.map_batches(_hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby(["h1", "h2"]).min("doc_id")
+    return agg.map_batches(
+        lambda t: pa.table({"doc_id": t.column("min(doc_id)")}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 32
+NUM_BANDS = 8
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+
+_rng = np.random.RandomState(1234)
+_PERM_A = _rng.randint(1, 2**62, NUM_PERM).astype(U64) | U64(1)
+_PERM_B = _rng.randint(1, 2**62, NUM_PERM).astype(U64)
+
+
+class MinHashStage:
+    """doc batch -> (band_id, band_hash, doc_id, sig) rows (one per band)."""
+
+    def __init__(self, shingles: str = "word"):
+        self.shingles = shingles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        n = len(text)
+        if self.shingles == "word":
+            sh, parent = _shingle_hashes_words(text)
+        else:
+            sh, parent = _char_ngram_hashes(text)
+        sig = np.full((n, NUM_PERM), np.iinfo(np.uint64).max, U64)
+        with np.errstate(over="ignore"):
+            for j in range(NUM_PERM):
+                y = sh * _PERM_A[j] + _PERM_B[j]
+                np.minimum.at(sig[:, j], parent, y)
+        # band hashes
+        band_hash = np.empty((n, NUM_BANDS), U64)
+        with np.errstate(over="ignore"):
+            for b in range(NUM_BANDS):
+                acc = np.zeros(n, U64)
+                for r in range(ROWS_PER_BAND):
+                    acc = acc * _B + sig[:, b * ROWS_PER_BAND + r]
+                band_hash[:, b] = acc
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_doc = np.tile(doc_id, NUM_BANDS)
+        out_band = np.repeat(np.arange(NUM_BANDS, dtype=np.int32), n)
+        out_hash = band_hash.T.reshape(-1)
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(sig, (NUM_BANDS, 1)).reshape(-1).view(np.int64)), NUM_PERM
+        )
+        return pa.table(
+            {
+                "band_id": pa.array(out_band),
+                "band_hash": pa.array(out_hash.view(np.int64)),
+                "doc_id": pa.array(out_doc),
+                "sig": sig_list,
+            }
+        )
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Star-pattern candidate pairs within one LSH bucket with
+    signature-estimated Jaccard (linear in bucket size)."""
+    if len(group) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    g = group.sort_values("doc_id")
+    docs = g["doc_id"].to_numpy()
+    sigs = np.stack(g["sig"].to_numpy())
+    est = (sigs[0] == sigs[1:]).mean(axis=1)
+    return pd.DataFrame(
+        {
+            "doc_a": np.full(len(docs) - 1, docs[0]),
+            "doc_b": docs[1:],
+            "est_jaccard": est,
+        }
+    )
+
+
+def dedup_minhash_pairs(
+    docs: ray.data.Dataset, threshold: float = 0.5, shingles: str = "word"
+) -> ray.data.Dataset:
+    """Near-duplicate candidate pairs via MinHash-LSH, deduplicated across
+    bands and filtered by estimated Jaccard >= threshold."""
+    rows = docs.map_batches(
+        MinHashStage(shingles), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = rows.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"), threshold)),
+        batch_format="pyarrow",
+    )
+    # dedup across bands
+    return pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard").map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "est_jaccard"]),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5):
+    return dedup_minhash_pairs(docs, threshold, shingles="char")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHashStage:
+    """doc batch -> (chunk_id, chunk_val, doc_id, simhash) rows."""
+
+    NUM_CHUNKS = 4  # 4 x 16-bit pigeonhole chunks of the 64-bit simhash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        n = len(text)
+        th, parent, _ = _token_hashes(text)
+        votes = np.zeros((n, 64), np.int64)
+        bits = ((th[:, None] >> np.arange(64, dtype=U64)) & U64(1)).astype(np.int64)
+        np.add.at(votes, parent, 2 * bits - 1)
+        sim = (votes > 0).astype(U64) @ (U64(1) << np.arange(64, dtype=U64))
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out = {
+            "chunk_id": np.repeat(np.arange(self.NUM_CHUNKS, dtype=np.int32), n),
+            "chunk_val": np.empty(self.NUM_CHUNKS * n, np.int64),
+            "doc_id": np.tile(doc_id, self.NUM_CHUNKS),
+            "simhash": np.tile(sim.view(np.int64), self.NUM_CHUNKS),
+        }
+        for c in range(self.NUM_CHUNKS):
+            out["chunk_val"][c * n:(c + 1) * n] = (
+                (sim >> U64(16 * c)) & U64(0xFFFF)
+            ).view(np.int64)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+
+def _simhash_pairs(max_hamming: int):
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        g = group.sort_values("doc_id")
+        docs = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.int64).view(U64)
+        x = sims[0] ^ sims[1:]
+        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.array(
+            [bin(int(v)).count("1") for v in x]
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": np.full(keep.sum(), docs[0]),
+                "doc_b": docs[1:][keep],
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
+
+    fn.__name__ = "simhash_pairs"
+    return fn
+
+
+def dedup_simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3):
+    rows = docs.map_batches(SimHashStage(), batch_format="pyarrow", zero_copy_batch=True)
+    pairs = rows.groupby(["chunk_id", "chunk_val"]).map_groups(
+        _simhash_pairs(max_hamming), batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).min("hamming").map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (LSH bucketed)
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneBucket:
+    """vec batch -> (table_id, bucket, vec_id, unit vec) rows.
+
+    ``num_tables`` independent random-hyperplane tables of ``num_planes``
+    bits each: recall for cos>=t pairs is 1-(1-(1-acos(t)/pi)^planes)^tables.
+    """
+
+    def __init__(self, dim: int, num_planes: int = 10, num_tables: int = 8):
+        rng = np.random.RandomState(99)
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.planes = rng.standard_normal(
+            (num_tables, dim, num_planes)
+        ).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(
+            len(emb), -1
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = (mat / np.maximum(norms, 1e-12)).astype(np.float32)
+        n = len(unit)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        weights = 1 << np.arange(self.num_planes)
+        tables, buckets = [], []
+        for t in range(self.num_tables):
+            bits = (unit @ self.planes[t]) > 0
+            buckets.append(bits @ weights)
+            tables.append(np.full(n, t, np.int32))
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(unit, (self.num_tables, 1)).reshape(-1)), mat.shape[1]
+        )
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(tables)),
+                "bucket": pa.array(np.concatenate(buckets).astype(np.int32)),
+                "vec_id": pa.array(np.tile(ids, self.num_tables)),
+                "vec": vec,
+            }
+        )
+
+
+def _cosine_pairs(threshold: float):
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        g = group.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        cos = sims[iu]
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][keep]],
+                "vec_b": ids[iu[1][keep]],
+                "cos": cos[keep].astype(np.float64),
+            }
+        )
+
+    fn.__name__ = "cosine_pairs"
+    return fn
+
+
+def dedup_embedding_pairs(
+    embeddings: ray.data.Dataset, dim: int, threshold: float = 0.9,
+    num_planes: int = 10, num_tables: int = 8,
+) -> ray.data.Dataset:
+    rows = embeddings.map_batches(
+        HyperplaneBucket(dim, num_planes, num_tables),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs = rows.groupby(["table_id", "bucket"]).map_groups(
+        _cosine_pairs(threshold), batch_format="pandas"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).max("cos").map_batches(
+        lambda t: t.rename_columns(["vec_a", "vec_b", "cos"]),
+        batch_format="pyarrow",
+    )
