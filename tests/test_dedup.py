@@ -1,0 +1,105 @@
+"""Dedup / ANN operator tests on synthetic corpora with planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages import ann, dedup
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the door of the old house"
+)
+
+
+@pytest.fixture
+def docs_with_dups(ray_session):
+    texts = [
+        BASE,
+        BASE,  # exact dup of 0
+        BASE.replace("lazy", "sleepy"),  # near dup of 0
+        "completely different content about database engines and shuffles",
+        "another unrelated piece of text mentioning ray data pipelines",
+        BASE + " extra tail words here",  # near dup of 0
+    ]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+class TestExactDedup:
+    def test_keeps_min_doc_per_text(self, docs_with_dups):
+        kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs_with_dups).take_all())
+        assert kept == [0, 2, 3, 4, 5]  # doc 1 is the exact dup
+
+
+class TestMinHash:
+    def test_finds_planted_near_dups(self, docs_with_dups):
+        pairs = dedup.dedup_minhash_pairs(docs_with_dups, threshold=0.5).take_all()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (0, 1) in found  # exact dup: jaccard 1.0
+        assert any(b in (2, 5) for (a, b) in found if a == 0)  # near dups
+        assert all(b not in (3, 4) for (_, b) in found)  # unrelated not paired
+
+    def test_ngram_variant(self, docs_with_dups):
+        pairs = dedup.dedup_ngram_jaccard_pairs(docs_with_dups, threshold=0.5).take_all()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (0, 1) in found
+
+
+class TestSimHash:
+    def test_finds_planted_near_dups(self, docs_with_dups):
+        pairs = dedup.dedup_simhash_pairs(docs_with_dups, max_hamming=6).take_all()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (0, 1) in found
+        hams = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+        assert hams[(0, 1)] == 0
+
+
+class TestEmbeddingDedup:
+    def test_finds_planted_near_dups(self, ray_session):
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal(32).astype(np.float32)
+        near = base + 0.05 * rng.standard_normal(32).astype(np.float32)
+        far = rng.standard_normal((6, 32)).astype(np.float32)
+        mat = np.vstack([base, near, far])
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": list(range(len(mat))),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1)), 32
+                    ).cast(pa.list_(pa.float32())),
+                }
+            )
+        )
+        pairs = dedup.dedup_embedding_pairs(emb, 32, threshold=0.9).take_all()
+        found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+        assert (0, 1) in found
+        assert all({a, b} == {0, 1} for a, b in found)
+
+
+class TestANN:
+    def test_brute_force_topk(self, ray_session, sf_dir):
+        out = ann.ann_topk(sf_dir, k=3, num_queries=4).take_all()
+        assert len(out) == 12
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in per_q.items():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == [1, 2, 3]
+            coss = [r["cos"] for r in sorted(rows, key=lambda x: x["rank"])]
+            assert coss == sorted(coss, reverse=True)
+            assert all(r["vec_id"] != q for r in rows)
+
+    def test_ivf_recall(self, ray_session, sf_dir):
+        bf = ann.ann_topk(sf_dir, k=5, num_queries=8).take_all()
+        ivf = ann.ann_topk_ivf(sf_dir, k=5, num_queries=8, nprobe=8,
+                               num_centroids=8).take_all()
+        bfs = {(r["query_id"], r["vec_id"]) for r in bf}
+        ivs = {(r["query_id"], r["vec_id"]) for r in ivf}
+        # probing all 8 of 8 buckets = exhaustive -> recall 1.0
+        assert len(bfs & ivs) == len(bfs)
