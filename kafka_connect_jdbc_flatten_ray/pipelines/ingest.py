@@ -76,15 +76,22 @@ def event_stream(
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/documents.parquet"
+    meta = pq.ParquetFile(path).metadata
+    n_docs = meta.num_rows
     if num_blocks is None:
-        n_docs = pq.ParquetFile(path).metadata.num_rows
         # ~2.2 events/doc; target a few thousand docs' worth of events per block
         num_blocks = max(1, min(256, (n_docs * replicate) // 4000))
-    docs = ray.data.read_parquet(
-        path,
-        columns=DOC_COLUMNS,
-        override_num_blocks=num_blocks,
-    )
+    if meta.num_row_groups <= 1 and n_docs <= 1_000_000:
+        # single small file: a read task + SplitBlocks would serialize the
+        # pipeline head; read driver-side once and pre-split into blocks
+        tbl = pq.read_table(path, columns=DOC_COLUMNS)
+        step = -(-n_docs // num_blocks)
+        slices = [tbl.slice(i, step) for i in range(0, n_docs, step)]
+        docs = ray.data.from_arrow(slices)
+    else:
+        docs = ray.data.read_parquet(
+            path, columns=DOC_COLUMNS, override_num_blocks=num_blocks
+        )
     gen = EventGen(
         num_partitions=num_partitions,
         include_tombstones=include_tombstones,
@@ -122,8 +129,14 @@ def flatten_envelopes(
     key_schema_name: str | None = KEY_SCHEMA_NAME,
     concurrency=(2, 8),
     batch_size: int | None = None,
+    compute: str = "tasks",
 ) -> ray.data.Dataset:
-    """The stateful flatten stage (actor pool; plan cache per actor — ST1).
+    """The flatten stage (ST1 plan cache amortized per worker).
+
+    ``compute="tasks"`` (default) runs the stage as stateless tasks with a
+    per-worker-process plan cache — no actor-pool spin-up, elastic scaling.
+    ``compute="actors"`` uses the FlattenStage actor pool (``concurrency``
+    sizing) — the right mode when stage state is heavy (models, indexes).
 
     ``batch_size=None`` processes block-sized batches: when fused with the
     event generator the flatten runs directly on each generated event batch
@@ -131,6 +144,15 @@ def flatten_envelopes(
     re-bundling upstream blocks — re-bundling would serialize the pipeline
     into very few giant tasks.
     """
+    if compute == "tasks":
+        from kafka_connect_jdbc_flatten_ray.stages.flatten_stage import make_flatten_fn
+
+        return events.map_batches(
+            make_flatten_fn(cfg, topic, value_schema_name, key_schema_name),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return events.map_batches(
         FlattenStage,
         fn_constructor_args=(cfg, topic, value_schema_name, key_schema_name),

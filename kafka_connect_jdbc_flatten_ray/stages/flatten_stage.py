@@ -76,6 +76,38 @@ def bucket_of(tbl: pa.Table, key_cols: tuple[str, ...], num_buckets: int) -> np.
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+# Per-worker-process plan cache for the stateless-tasks execution mode:
+# plain map_batches functions run in long-lived Ray workers, so a module
+# global amortizes plan building exactly like actor state does, without
+# paying actor-pool spin-up. Used by make_flatten_fn().
+_WORKER_STAGES: dict = {}
+
+
+def make_flatten_fn(
+    cfg: SinkConfig,
+    topic: str,
+    value_schema_name: str | None,
+    key_schema_name: str | None = None,
+):
+    """A plain-function flatten stage for ``map_batches`` (stateless tasks).
+
+    Functionally identical to FlattenStage; prefer it when the per-stage
+    state is just the plan cache (cheap to rebuild), so the pipeline skips
+    actor-pool startup and scales elastically with the cluster. Use the
+    FlattenStage actor pool when stage state is genuinely heavy.
+    """
+    key = (cfg, topic, value_schema_name, key_schema_name)
+
+    def flatten_stage_fn(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_STAGES.get(key)
+        if stage is None:
+            stage = FlattenStage(cfg, topic, value_schema_name, key_schema_name)
+            _WORKER_STAGES[key] = stage
+        return stage(batch)
+
+    return flatten_stage_fn
+
+
 class FlattenStage:
     """map_batches callable: change-event batches -> (table, bucket, payload)."""
 
