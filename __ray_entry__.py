@@ -31,10 +31,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from kafka_connect_jdbc_flatten_ray.pipelines import data_queries as dq
     from kafka_connect_jdbc_flatten_ray.pipelines import queries as q
+    from kafka_connect_jdbc_flatten_ray.pipelines import relational as rel
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(q.cdc_queries())
     out.update(dq.data_queries())
+    out.update(rel.relational_queries())
     return out
 
 
@@ -42,8 +44,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (tables pre-registered as views)."""
     from kafka_connect_jdbc_flatten_ray.pipelines import data_queries as dq
     from kafka_connect_jdbc_flatten_ray.pipelines import queries as q
+    from kafka_connect_jdbc_flatten_ray.pipelines import relational as rel
 
     out: dict[str, str] = {}
     out.update(q.cdc_oracles())
     out.update(dq.data_oracles())
+    out.update(rel.relational_oracles())
     return out

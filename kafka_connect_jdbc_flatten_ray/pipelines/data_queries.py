@@ -82,6 +82,44 @@ def q_ann_ivf(sf_dir: str):
     return ann.ann_topk_ivf(sf_dir, k=5, num_queries=8)
 
 
+def _media_ds(sf_dir: str, kind: str) -> ray.data.Dataset:
+    """Deterministic fake media synthesized from documents (see
+    stages/multimodal.py — codecs are stubbed, plumbing is real)."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.stages import multimodal as mm
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ray.data.from_arrow(mm.synthesize_media(docs, kind))
+
+
+def q_media_decode(sf_dir: str):
+    from kafka_connect_jdbc_flatten_ray.stages import multimodal as mm
+
+    return _media_ds(sf_dir, "image").map_batches(
+        mm.DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
+def q_video_frames(sf_dir: str):
+    from kafka_connect_jdbc_flatten_ray.stages import multimodal as mm
+
+    return _media_ds(sf_dir, "video").map_batches(
+        mm.FrameSample, fn_constructor_args=(2,),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    ).map_batches(  # frame bytes are opaque; report sampled layout
+        lambda t: t.select(["media_id", "frame_idx"]), batch_format="pyarrow"
+    )
+
+
+def q_audio_features(sf_dir: str):
+    from kafka_connect_jdbc_flatten_ray.stages import multimodal as mm
+
+    return _media_ds(sf_dir, "audio").map_batches(
+        mm.AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 _STOP = "'the','and','of','to','a','in','is','it'"
 
 ORACLE_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -154,7 +192,18 @@ def data_queries() -> dict:
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
+        "media_image_decode": q_media_decode,
+        "media_video_frames": q_video_frames,
+        "media_audio_features": q_audio_features,
     }
+
+
+# fake-video layout is pure arithmetic -> SQL-checkable sampling plan
+ORACLE_VIDEO_FRAMES = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, 4 + doc_id % 8, 2)) AS INTEGER) AS frame_idx
+FROM documents
+"""
 
 
 def data_oracles() -> dict:
@@ -164,5 +213,7 @@ def data_oracles() -> dict:
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
-        # minhash/simhash/ngram/embedding pairs, fingerprint, ivf: rows-only
+        "media_video_frames": ORACLE_VIDEO_FRAMES,
+        # minhash/simhash/ngram/embedding pairs, fingerprint, ivf,
+        # image decode, audio features: rows-only
     }

@@ -1,0 +1,231 @@
+"""Relational/aggregate queries demonstrating the engine's wide-op patterns
+(pre-aggregation combiners, windowed aggregates, top-k, distinct) plus the
+legacy passthrough sink queries — all with DuckDB oracles.
+
+Pre-aggregation pattern: every groupby here first combines inside
+``map_batches`` (one row per key per batch via pyarrow's hash groupby), so
+the shuffle moves partial aggregates, not events.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from kafka_connect_jdbc_flatten_ray.config import SinkConfig
+from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
+
+
+def _events(sf_dir: str, columns) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregate with partial pre-aggregation
+# ---------------------------------------------------------------------------
+
+
+def _partial_by_type(t: pa.Table) -> pa.Table:
+    g = pa.TableGroupBy(t, "event_type").aggregate(
+        [("event_id", "count"), ("value", "sum")]
+    )
+    return g.rename_columns(["event_type", "n_part", "sum_part"])
+
+
+def events_by_type(sf_dir: str) -> ray.data.Dataset:
+    ds = _events(sf_dir, ["event_type", "event_id", "value"])
+    partial = ds.map_batches(_partial_by_type, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial.groupby("event_type").aggregate(
+        Sum("n_part", alias_name="n"), Sum("sum_part", alias_name="sum_value")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "sum_value": pc.round(t.column("sum_value"), 3),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 3) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregate (event-time, exact integers)
+# ---------------------------------------------------------------------------
+
+
+def _partial_hourly(t: pa.Table) -> pa.Table:
+    hour = pc.floor_temporal(t.column("ts"), unit="hour")
+    g = pa.TableGroupBy(
+        pa.table({"user_id": t.column("user_id"), "hour": hour, "x": t.column("event_id")}),
+        ["user_id", "hour"],
+    ).aggregate([("x", "count")])
+    return g.rename_columns(["user_id", "hour", "n_part"])
+
+
+def user_hourly_counts(sf_dir: str) -> ray.data.Dataset:
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+    partial = ds.map_batches(_partial_hourly, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial.groupby(["user_id", "hour"]).aggregate(Sum("n_part", alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n"), "n", pc.cast(t.column("n"), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_USER_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+def top_users(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    ds = _events(sf_dir, ["user_id", "event_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "user_id").aggregate([("event_id", "count")])
+        return g.rename_columns(["user_id", "n_part"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial.groupby("user_id").aggregate(Sum("n_part", alias_name="n"))
+    top = agg.sort(["n", "user_id"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id"), "n": pc.cast(t.column("n"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_TOP_USERS = """
+SELECT user_id, COUNT(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+def distinct_langs(sf_dir: str):
+    vals = sorted(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]).unique(
+            "lang"
+        )
+    )
+    return pd.DataFrame({"lang": vals})
+
+
+ORACLE_DISTINCT_LANGS = "SELECT DISTINCT lang FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# legacy passthrough sink (flatten = false)
+# ---------------------------------------------------------------------------
+
+_FLAT_FIELDS = ("repo", "path", "commit_id", "lang", "version", "size")
+
+
+def _project_flat_value(b: pa.Table) -> pa.Table:
+    v = b.column("value")
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    arrs = [pc.struct_field(v, f) for f in _FLAT_FIELDS]
+    mask = pc.is_null(v)
+    flat = pa.StructArray.from_arrays(
+        arrs,
+        fields=[pa.field(f, a.type) for f, a in zip(_FLAT_FIELDS, arrs)],
+        mask=mask if mask.null_count or pc.any(mask).as_py() else None,
+    )
+    return b.set_column(b.column_names.index("value"), "value", flat)
+
+
+def passthrough_upsert(sf_dir: str) -> ray.data.Dataset:
+    """flatten=false + insert.mode=upsert + pk.mode=record_key: one table,
+    last row per key wins (no tombstones in this stream)."""
+    cfg = SinkConfig(
+        flatten=False, pk_mode="record_key", pk_fields=("repo", "path"),
+        insert_mode="upsert", delete_enabled=False,
+    )
+    events = ingest.event_stream(sf_dir, include_tombstones=False)
+    flat = events.map_batches(_project_flat_value, batch_format="pyarrow", zero_copy_batch=True)
+    return passthrough_table(flat, cfg)
+
+
+ORACLE_PASSTHROUGH_UPSERT = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars, doc_id % 3 AS maxv,
+         'repo_' || (doc_id % 20) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path
+  FROM documents
+)
+SELECT repo, path,
+       'c' || ((doc_id * 2654435761 + maxv) % 1000000007) AS commit_id,
+       lang AS lang,
+       CAST(maxv AS INTEGER) AS version,
+       CAST(n_chars + maxv AS BIGINT) AS "size"
+FROM d
+"""
+
+
+def passthrough_insert(sf_dir: str) -> ray.data.Dataset:
+    """flatten=false append-only: every version is a row."""
+    cfg = SinkConfig(
+        flatten=False, pk_mode="none", insert_mode="insert", delete_enabled=False
+    )
+    events = ingest.event_stream(sf_dir, include_tombstones=False)
+    flat = events.map_batches(_project_flat_value, batch_format="pyarrow", zero_copy_batch=True)
+    return passthrough_table(flat, cfg)
+
+
+ORACLE_PASSTHROUGH_INSERT = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars, doc_id % 3 AS maxv,
+         'repo_' || (doc_id % 20) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path
+  FROM documents
+), v AS (SELECT d.*, unnest(range(maxv + 1)) AS v FROM d)
+SELECT repo, path,
+       'c' || ((doc_id * 2654435761 + v) % 1000000007) AS commit_id,
+       lang AS lang,
+       CAST(v AS INTEGER) AS version,
+       CAST(n_chars + v AS BIGINT) AS "size"
+FROM v
+"""
+
+
+def relational_queries() -> dict:
+    return {
+        "events_by_type": events_by_type,
+        "user_hourly_counts": user_hourly_counts,
+        "top_users": top_users,
+        "distinct_langs": distinct_langs,
+        "passthrough_upsert": passthrough_upsert,
+        "passthrough_insert": passthrough_insert,
+    }
+
+
+def relational_oracles() -> dict:
+    return {
+        "events_by_type": ORACLE_EVENTS_BY_TYPE,
+        "user_hourly_counts": ORACLE_USER_HOURLY,
+        "top_users": ORACLE_TOP_USERS,
+        "distinct_langs": ORACLE_DISTINCT_LANGS,
+        "passthrough_upsert": ORACLE_PASSTHROUGH_UPSERT,
+        "passthrough_insert": ORACLE_PASSTHROUGH_INSERT,
+    }
