@@ -142,12 +142,14 @@ class FlattenStage:
         return plan
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from kafka_connect_jdbc_flatten_ray.stages.merge import local_prereduce
+
         plan = self._plan_for(batch)
         tables, buckets, rows, payloads = [], [], [], []
         out = flatten_event_batch(plan, self.cfg, batch)
         nb = self.cfg.num_buckets
         for tp in plan.tables:
-            tbl = out[tp.table]
+            tbl = local_prereduce(out[tp.table], tp.key_pk_cols)
             if tbl.num_rows == 0:
                 continue
             b = bucket_of(tbl, tp.key_pk_cols, nb)

@@ -130,6 +130,39 @@ def _factorize_multi(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
     return codes.astype(np.int64)
 
 
+def local_prereduce(tbl: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
+    """Within-batch combiner applied BEFORE the shuffle: drop data rows
+    already dominated by a same-batch clear, and collapse each key's clears
+    to the single max-rank one. Correctness: the max clear per key carries
+    all the domination information the global merge needs, and locally
+    dominated data rows can never survive globally. For upsert streams where
+    several versions of a key land in one batch this roughly halves the
+    exchange volume.
+    """
+    if not key_cols or not tbl.num_rows:
+        return tbl
+    op = tbl.column(OP_COL).to_numpy(zero_copy_only=False)
+    is_data = op == OP_INSERT
+    if is_data.all():
+        return tbl
+    rank = _rank(tbl)
+    if len(key_cols) == 1:
+        codes, _ = _factorize_array(tbl.column(key_cols[0]))
+    else:
+        codes = _factorize_multi(tbl, key_cols)
+    ngroups = int(codes.max()) + 1 if len(codes) else 0
+    maxclear = np.full(ngroups, np.int64(-1))
+    np.maximum.at(maxclear, codes[~is_data], rank[~is_data])
+    mc = maxclear[codes]
+    keep = (is_data & (rank >= mc)) | (~is_data & (rank == mc))
+    # a key could have two clear ops at the same rank only if the same event
+    # were emitted twice into one batch; keep would then retain both — the
+    # global merge is insensitive to duplicate clears, so no dedup needed.
+    if keep.all():
+        return tbl
+    return tbl.filter(pa.array(keep))
+
+
 def final_columns(tbl: pa.Table) -> pa.Table:
     """Drop internal order columns for user-facing output."""
     drop = [c for c in (PART_COL, OFF_COL, OP_COL) if c in tbl.column_names]
