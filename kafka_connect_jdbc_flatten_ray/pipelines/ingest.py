@@ -243,3 +243,56 @@ def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
     files = TableManifest(lake_root, table).current_files()
     ds = ray.data.read_parquet(sorted(files.values()))
     return ds.drop_columns([c for c in (PART_COL, OFF_COL) if c in ds.schema().names])
+
+
+def lake_status(lake_root: str) -> dict:
+    """Manifest/lineage summary per table (epochs, rows, bucket counts)."""
+    import os
+
+    out = {}
+    if not os.path.isdir(lake_root):
+        return out
+    for table in sorted(os.listdir(lake_root)):
+        m = TableManifest(lake_root, table).load()
+        if m:
+            out[table] = {
+                "epoch": m["epoch"],
+                "buckets": len(m["buckets"]),
+                "epochs": m["epochs"],
+            }
+    return out
+
+
+def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
+    """Delete bucket files no longer referenced by a manifest and older than
+    the last ``keep_epochs`` epochs. Each epoch's merge writes a full new
+    bucket state, so old epoch files are pure history; the manifest swap
+    keeps in-flight readers consistent."""
+    import os
+    import re
+
+    removed: dict[str, int] = {}
+    if not os.path.isdir(lake_root):
+        return removed
+    pat = re.compile(r"epoch-(\d+)\.parquet$")
+    for table in sorted(os.listdir(lake_root)):
+        manifest = TableManifest(lake_root, table)
+        m = manifest.load()
+        if not m:
+            continue
+        referenced = set(m["buckets"].values())
+        cutoff = m["epoch"] - keep_epochs + 1
+        n = 0
+        tdir = os.path.join(lake_root, table)
+        for bucket_dir in os.listdir(tdir):
+            bdir = os.path.join(tdir, bucket_dir)
+            if not os.path.isdir(bdir):
+                continue
+            for f in os.listdir(bdir):
+                path = os.path.join(bdir, f)
+                match = pat.search(f)
+                if match and path not in referenced and int(match.group(1)) < cutoff:
+                    os.remove(path)
+                    n += 1
+        removed[table] = n
+    return removed
