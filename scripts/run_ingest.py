@@ -36,8 +36,11 @@ def main() -> None:
             logging_level="ERROR",
         )
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     from kafka_connect_jdbc_flatten_ray.pipelines import ingest
 
