@@ -37,6 +37,17 @@ def q_dedup_ngram(sf_dir: str):
     return dedup.dedup_ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_dedup_minhash_keep(sf_dir: str):
+    return dedup.dedup_minhash_keep(_docs(sf_dir), threshold=0.95)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    from kafka_connect_jdbc_flatten_ray.stages.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return approx_distinct(ds, "user_id")
+
+
 def q_dedup_embedding(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -186,6 +197,8 @@ def data_queries() -> dict:
         "dedup_simhash_pairs": q_dedup_simhash,
         "dedup_ngram_jaccard_pairs": q_dedup_ngram,
         "dedup_embedding_pairs": q_dedup_embedding,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
+        "approx_distinct_users": q_approx_distinct_users,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

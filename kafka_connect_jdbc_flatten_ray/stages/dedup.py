@@ -250,6 +250,28 @@ def dedup_ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5):
     return dedup_minhash_pairs(docs, threshold, shingles="char")
 
 
+def dedup_minhash_keep(
+    docs: ray.data.Dataset, threshold: float = 0.9, shingles: str = "word"
+) -> ray.data.Dataset:
+    """Approximate-dedup keep set: drop every doc that is the higher-id side
+    of a near-duplicate pair (star edges point at the bucket minimum, so
+    clusters collapse onto their smallest doc_id)."""
+    pairs = dedup_minhash_pairs(docs, threshold, shingles)
+    drop = pairs.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_b")}), batch_format="pyarrow"
+    ).unique("doc_id")
+    drop_set = set(drop)  # near-dup loser ids: small relative to corpus
+
+    def _filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        import numpy as _np
+
+        keep = ~_np.isin(ids, list(drop_set))
+        return pa.table({"doc_id": t.column("doc_id").filter(pa.array(keep))})
+
+    return docs.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

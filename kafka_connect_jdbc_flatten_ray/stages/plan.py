@@ -371,6 +371,23 @@ def build_plan(
                     cols.append(ColumnSpec(col, "capture", pk_leaf.dtype, False))
                     used.add(col.lower())
 
+        # 4b. pk.mode=kafka: __connect_topic/partition/offset PK columns
+        #     (FieldsMetadata.java kafka mode; oracle test
+        #     JdbcSinkTaskTestPostgresArray.java:189-256)
+        if cfg.pk_mode == "kafka" and cols:
+            knames = (
+                tuple(cfg.pk_fields)
+                if len(cfg.pk_fields) == 3
+                else ("__connect_topic", "__connect_partition", "__connect_offset")
+            )
+            for kn, coord, ctype in zip(
+                knames, ("topic", "partition", "offset"),
+                (pa.string(), pa.int32(), pa.int64()),
+            ):
+                name = ucase(cfg, kn)
+                cols.append(ColumnSpec(name, "coord", ctype, False, coord=coord))
+                pk_cols.append(name)
+
         # 5. kafka coordinates (F7: :99-113, :715-721)
         if cfg.flatten_coordinates and cols:
             for cname, coord, ctype in zip(cfg.coordinate_names, _COORDS, _COORD_TYPES):

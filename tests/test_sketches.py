@@ -1,0 +1,62 @@
+"""HLL sketch tests: accuracy vs exact distinct, mergeability."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages.sketches import (
+    M,
+    approx_distinct,
+    hll_add,
+    hll_estimate,
+)
+
+
+class TestHLL:
+    def test_accuracy_direct(self):
+        rng = np.random.RandomState(3)
+        for n in (100, 5000, 200_000):
+            vals = rng.randint(0, 1 << 62, n * 2) % (1 << 62)
+            uniq = np.unique(vals)
+            h = pd.util.hash_pandas_object(pd.Series(uniq), index=False).to_numpy()
+            regs = np.zeros(M, np.uint8)
+            hll_add(regs, h)
+            est = hll_estimate(regs)
+            assert abs(est - len(uniq)) / len(uniq) < 0.05, (n, est, len(uniq))
+
+    def test_merge_equals_union(self):
+        rng = np.random.RandomState(4)
+        a = rng.randint(0, 1 << 60, 10_000)
+        b = rng.randint(0, 1 << 60, 10_000)
+        ra, rb, rab = np.zeros(M, np.uint8), np.zeros(M, np.uint8), np.zeros(M, np.uint8)
+        ha = pd.util.hash_pandas_object(pd.Series(a), index=False).to_numpy()
+        hb = pd.util.hash_pandas_object(pd.Series(b), index=False).to_numpy()
+        hll_add(ra, ha)
+        hll_add(rb, hb)
+        hll_add(rab, np.concatenate([ha, hb]))
+        assert np.array_equal(np.maximum(ra, rb), rab)
+
+    def test_dataset_pipeline(self, ray_session, sf_dir):
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        exact = len(set(r["user_id"] for r in ds.take_all()))
+        est = approx_distinct(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+            "user_id",
+        )["approx_distinct"][0]
+        assert abs(est - exact) / exact < 0.05
+
+
+class TestMinhashKeep:
+    def test_exact_dups_collapse(self, ray_session):
+        from kafka_connect_jdbc_flatten_ray.stages import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [base, base, "unrelated words entirely different content here", base]
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": [0, 1, 2, 3], "text": texts})
+        )
+        kept = sorted(
+            r["doc_id"] for r in dedup.dedup_minhash_keep(docs, 0.95).take_all()
+        )
+        assert kept == [0, 2]
