@@ -122,6 +122,80 @@ GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# joins: broadcast lookup (small side) and hash join (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join: orders (large) enriched with customer.mktsegment
+    (small side broadcast via ray.put), then pre-aggregated counts."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.stages.joins import broadcast_lookup
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    joined = broadcast_lookup(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "c_mktsegment").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["c_mktsegment", "n_part"])
+
+    partial = joined.map_batches(_partial, batch_format="pyarrow")
+    agg = partial.groupby("c_mktsegment").aggregate(Sum("n_part", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"c_mktsegment": t.column("c_mktsegment"),
+             "n": pc.cast(t.column("n"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def lineitem_order_priority(sf_dir: str) -> ray.data.Dataset:
+    """Hash join (both sides large): lineitem x orders on orderkey,
+    hash-partitioned, then per-priority lineitem counts."""
+    from kafka_connect_jdbc_flatten_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+                       num_partitions=16)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "o_orderpriority").aggregate([("l_orderkey", "count")])
+        return g.rename_columns(["o_orderpriority", "n_part"])
+
+    partial = joined.map_batches(_partial, batch_format="pyarrow")
+    agg = partial.groupby("o_orderpriority").aggregate(Sum("n_part", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"o_orderpriority": t.column("o_orderpriority"),
+             "n": pc.cast(t.column("n"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_LINEITEM_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def distinct_langs(sf_dir: str):
     vals = sorted(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]).unique(
@@ -215,6 +289,8 @@ def relational_queries() -> dict:
         "user_hourly_counts": user_hourly_counts,
         "top_users": top_users,
         "distinct_langs": distinct_langs,
+        "orders_by_segment": orders_by_segment,
+        "lineitem_order_priority": lineitem_order_priority,
         "passthrough_upsert": passthrough_upsert,
         "passthrough_insert": passthrough_insert,
     }
@@ -226,6 +302,8 @@ def relational_oracles() -> dict:
         "user_hourly_counts": ORACLE_USER_HOURLY,
         "top_users": ORACLE_TOP_USERS,
         "distinct_langs": ORACLE_DISTINCT_LANGS,
+        "orders_by_segment": ORACLE_ORDERS_BY_SEGMENT,
+        "lineitem_order_priority": ORACLE_LINEITEM_ORDER_PRIORITY,
         "passthrough_upsert": ORACLE_PASSTHROUGH_UPSERT,
         "passthrough_insert": ORACLE_PASSTHROUGH_INSERT,
     }
