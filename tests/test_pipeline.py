@@ -78,6 +78,20 @@ class TestLakeEpochs:
         assert len(root2) == len(live)
         assert res2["offsets"] == res["offsets"]
 
+    def test_incremental_epoch_with_new_data(self, ray_session, sf_dir, docs_meta, tmp_path):
+        # epoch 0 ingests replica 0; epoch 1 sees replicas 0+1 but the
+        # checkpoint filter skips replica 0 (already applied) — the lake ends
+        # up with both keyspaces and epoch 1 processed only the new tail
+        lake = str(tmp_path / "lake_inc")
+        ingest.run_epoch(sf_dir, lake, replicate=1, concurrency=2)
+        res2 = ingest.run_epoch(sf_dir, lake, replicate=2, concurrency=2)
+        live0 = sum(1 for d in docs_meta if d % 7 != 0)
+        live1 = sum(1 for d in docs_meta if (d + 10_000_000) % 7 != 0)
+        root = ingest.read_lake_table(lake, "cdc_filechange").take_all()
+        assert len(root) == live0 + live1
+        # epoch 1 only ingested the new replica's events
+        assert res2["tables"]["cdc_filechange"]["rows_out"] >= live1
+
     def test_replay_idempotent(self, ray_session, sf_dir, tmp_path):
         # replaying the full log into an existing lake must not change state
         lake = str(tmp_path / "lake2")
