@@ -30,12 +30,9 @@ from kafka_connect_jdbc_flatten_ray.config import SinkConfig
 from kafka_connect_jdbc_flatten_ray.stages.plan import (
     ARRAY,
     MAP,
-    OFF_COL,
-    OP_COL,
     OP_DELETE,
     OP_INSERT,
     OP_MARKER,
-    PART_COL,
     STRUCT,
     FlattenPlan,
     TablePlan,
