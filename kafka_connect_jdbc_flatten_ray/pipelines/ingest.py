@@ -65,6 +65,7 @@ def event_stream(
     include_tombstones: bool = True,
     replicate: int = 1,
     num_blocks: int | None = None,
+    evolve_from: int | None = None,
 ) -> ray.data.Dataset:
     """The change-event tail: documents -> deterministic CDC log.
 
@@ -96,6 +97,7 @@ def event_stream(
         num_partitions=num_partitions,
         include_tombstones=include_tombstones,
         replicate=replicate,
+        evolve_from=evolve_from,
     )
     return docs.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -184,6 +184,40 @@ FROM v
 """
 
 
+def cdc_root_upsert_evolved(sf_dir: str) -> ray.data.Dataset:
+    """Mid-stream schema evolution (W5): events with version >= 1 carry an
+    evolved value schema with a new 'branch' leaf; the merged table gains
+    the column with nulls for keys whose last write was generation 1."""
+    from kafka_connect_jdbc_flatten_ray.sources.cdc_gen import (
+        KEY_SCHEMA_NAME as KN,
+        KEY_TYPE,
+        VALUE_SCHEMA_NAME as VN,
+        VALUE_TYPE_V2,
+    )
+    from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan
+
+    cfg = ingest.default_config()
+    plan2 = build_plan(cfg, "cdc", VALUE_TYPE_V2, VN, KEY_TYPE, KN)
+    events = ingest.event_stream(sf_dir, evolve_from=1)
+    env = ingest.flatten_envelopes(events, cfg)
+    return ingest.table_state(env, plan2, "cdc_filechange")
+
+
+ORACLE_ROOT_UPSERT_EVOLVED = _D + """
+SELECT
+  repo AS filechangekey_repo,
+  path AS filechangekey_path,
+  repo, path,
+  'c' || ((doc_id * 2654435761 + maxv) % 1000000007) AS commit_id,
+  lang AS lang,
+  CAST(maxv AS INTEGER) AS version,
+  CAST(n_chars + maxv AS BIGINT) AS "size",
+  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CASE WHEN maxv >= 1 THEN 'main' ELSE NULL END AS branch,
+""" + _COORDS.format(v="maxv") + "FROM d WHERE doc_id % 7 <> 0"
+
+
 def cdc_root_upsert_uppercase(sf_dir: str) -> ray.data.Dataset:
     """Uppercase naming variant of the upsert root state
     (JdbcSinkTaskTestPostgresArrayDelete.java:625-809)."""
@@ -262,6 +296,7 @@ def cdc_queries() -> dict:
         "cdc_lines_insert": cdc_lines_insert,
         "cdc_renamed_whitelist": cdc_renamed_whitelist,
         "cdc_root_upsert_uppercase": cdc_root_upsert_uppercase,
+        "cdc_root_upsert_evolved": cdc_root_upsert_evolved,
         "source_bulk": queriers.source_bulk,
         "source_incrementing": queriers.source_incrementing,
         "source_timestamp": queriers.source_timestamp,
@@ -279,6 +314,7 @@ def cdc_oracles() -> dict:
         "cdc_lines_insert": ORACLE_LINES_INSERT,
         "cdc_renamed_whitelist": ORACLE_RENAMED_WHITELIST,
         "cdc_root_upsert_uppercase": ORACLE_ROOT_UPSERT_UPPERCASE,
+        "cdc_root_upsert_evolved": ORACLE_ROOT_UPSERT_EVOLVED,
         "source_bulk": ORACLE_SOURCE_BULK,
         "source_incrementing": ORACLE_SOURCE_INCREMENTING,
         "source_timestamp": ORACLE_SOURCE_TIMESTAMP,

@@ -64,6 +64,10 @@ VALUE_TYPE = pa.struct(
 )
 KEY_TYPE = pa.struct([pa.field("repo", pa.string()), pa.field("path", pa.string())])
 
+# evolved value schema generation 2: adds a 'branch' leaf (schema evolution
+# mid-stream; events with version >= evolve_from carry the new schema)
+VALUE_TYPE_V2 = pa.struct(list(VALUE_TYPE) + [pa.field("branch", pa.string())])
+
 EVENT_SCHEMA = pa.schema(
     [
         pa.field("topic", pa.string()),
@@ -71,6 +75,10 @@ EVENT_SCHEMA = pa.schema(
         pa.field("offset", pa.int64()),
         pa.field("timestamp", pa.timestamp("ms")),
         pa.field("timestamp_type", pa.string()),
+        # explicit op code ('U' upsert / 'D' tombstone): robust tombstone
+        # signal even if a downstream block unification drops the value
+        # struct's validity bitmap (kernel also accepts null-value-only)
+        pa.field("op", pa.string()),
         pa.field("key", KEY_TYPE),
         pa.field("value", VALUE_TYPE),
     ]
@@ -122,12 +130,16 @@ class EventGen:
         replicate: int = 1,
         id_stride: int = 10_000_000,
         target_events_per_batch: int = 16384,
+        evolve_from: int | None = None,
     ):
         self.num_partitions = num_partitions
         self.include_tombstones = include_tombstones
         self.replicate = replicate
         self.id_stride = id_stride
         self.target = target_events_per_batch
+        # schema evolution: events with version >= evolve_from are emitted
+        # with the V2 value schema (extra 'branch' leaf = 'main')
+        self.evolve_from = evolve_from
 
     def __call__(self, batch: pa.Table):
         # yield batches of ~target_events_per_batch events (grouping replicas
@@ -142,15 +154,47 @@ class EventGen:
         for start in range(0, self.replicate, k):
             chunk = range(start, min(start + k, self.replicate))
             if len(chunk) == 1:
-                sub, extra = batch, np.int64(chunk[0] * self.id_stride)
-                yield self._gen(sub, extra)
+                out = self._gen(batch, np.int64(chunk[0] * self.id_stride))
             else:
                 tile = np.tile(base, len(chunk))
                 sub = batch.take(pa.array(tile))
                 offs = np.repeat(
                     np.array([r * self.id_stride for r in chunk], np.int64), n
                 )
-                yield self._gen(sub, offs)
+                out = self._gen(sub, offs)
+            yield from self._maybe_evolve(out)
+
+    def _maybe_evolve(self, tbl: pa.Table):
+        """Split a generated batch into schema generations: events with
+        version >= evolve_from are re-emitted with the V2 value schema
+        (new 'branch' leaf) — mixed schema generations in one stream."""
+        if self.evolve_from is None:
+            yield tbl
+            return
+        value = tbl.column("value")
+        if isinstance(value, pa.ChunkedArray):
+            value = value.combine_chunks()
+        ver = pc.struct_field(value, "version")
+        is_v2 = pc.fill_null(
+            pc.greater_equal(ver, pa.scalar(self.evolve_from, pa.int32())), False
+        )
+        t1 = tbl.filter(pc.invert(is_v2))
+        if t1.num_rows:
+            yield t1
+        t2 = tbl.filter(is_v2)
+        if t2.num_rows:
+            v = t2.column("value")
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            children = [pc.struct_field(v, f.name) for f in VALUE_TYPE]
+            branch = pa.array(["main"] * len(v), pa.string())
+            v2 = pa.StructArray.from_arrays(
+                children + [branch], fields=list(VALUE_TYPE_V2)
+            )
+            t2 = t2.set_column(
+                t2.column_names.index("value"), pa.field("value", VALUE_TYPE_V2), v2
+            )
+            yield t2
 
     def _gen(self, batch: pa.Table, id_offset) -> pa.Table:
         did0 = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -227,6 +271,7 @@ class EventGen:
         )
         key = pa.StructArray.from_arrays([repo, path], fields=list(KEY_TYPE))
 
+        op = np.where(is_tomb, "D", "U")
         return pa.Table.from_arrays(
             [
                 pa.array([TOPIC] * total, pa.string()),
@@ -234,6 +279,7 @@ class EventGen:
                 pa.array(off, pa.int64()),
                 pa.array(ts, pa.timestamp("ms")),
                 pa.array(["CreateTime"] * total, pa.string()),
+                pa.array(op, pa.string()),
                 key,
                 value,
             ],

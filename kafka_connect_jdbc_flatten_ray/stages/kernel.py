@@ -182,50 +182,72 @@ def _key_only_rows(
 def flatten_event_batch(
     plan: FlattenPlan, cfg: SinkConfig, batch: pa.Table
 ) -> dict[str, pa.Table]:
-    """Flatten one Arrow batch of change events into per-table envelopes."""
+    """Flatten one Arrow batch of change events into per-table envelopes.
+
+    Tombstones are detected via the explicit ``op`` column ('D') when
+    present, OR a null value struct. The batch is split FIRST and the
+    explode runs only on data events — robust against Ray Data's block
+    unification, which can promote mixed-schema yields into one block and
+    drop a struct column's validity bitmap (leaving tombstone rows looking
+    non-null).
+    """
     n = batch.num_rows
     names = set(batch.column_names)
     value = _arr(batch.column("value"))
-    key = _arr(batch.column("key")) if "key" in names else None
-
-    batch_cols = {
-        "topic": _arr(batch.column("topic")),
-        "partition": _arr(batch.column("partition")),
-        "offset": _arr(batch.column("offset")),
-        "timestamp": _arr(batch.column("timestamp")) if "timestamp" in names
-        else pa.nulls(n, pa.timestamp("ms")),
-        "timestamp_type": _arr(batch.column("timestamp_type")) if "timestamp_type" in names
-        else pa.array(["CreateTime"] * n, pa.string()),
-    }
-
-    key_arrs: dict[str, pa.Array] = {}
-    for col, kfield, dtype in plan.key_pks:
-        v = key if kfield is None else pc.struct_field(key, kfield)
-        if v.type != dtype:
-            v = pc.cast(v, dtype)
-        key_arrs[col] = v
 
     tomb_mask = pc.is_null(value)
+    if "op" in names:
+        tomb_mask = pc.or_(tomb_mask, pc.equal(_arr(batch.column("op")), "D"))
     n_tomb = pc.sum(tomb_mask).as_py() or 0
     if n_tomb and not cfg.delete_enabled:
         raise ValueError(
-            "tombstone (null value) events require delete_enabled "
+            "tombstone (null value / op='D') events require delete_enabled "
             "(JdbcSinkConfig delete.enabled semantics)"
         )
-    tomb_sel = pc.indices_nonzero(tomb_mask) if n_tomb else None
-    data_sel = pc.indices_nonzero(pc.invert(tomb_mask)) if n_tomb else None
+
+    def cols_of(b: pa.Table) -> dict[str, pa.Array]:
+        m = b.num_rows
+        bn = set(b.column_names)
+        return {
+            "topic": _arr(b.column("topic")),
+            "partition": _arr(b.column("partition")),
+            "offset": _arr(b.column("offset")),
+            "timestamp": _arr(b.column("timestamp")) if "timestamp" in bn
+            else pa.nulls(m, pa.timestamp("ms")),
+            "timestamp_type": _arr(b.column("timestamp_type")) if "timestamp_type" in bn
+            else pa.array(["CreateTime"] * m, pa.string()),
+        }
+
+    def keys_of(b: pa.Table) -> dict[str, pa.Array]:
+        key = _arr(b.column("key")) if "key" in set(b.column_names) else None
+        out: dict[str, pa.Array] = {}
+        for col, kfield, dtype in plan.key_pks:
+            v = key if kfield is None else pc.struct_field(key, kfield)
+            if v.type != dtype:
+                v = pc.cast(v, dtype)
+            out[col] = v
+        return out
+
+    if n_tomb:
+        data_batch = batch.filter(pc.invert(tomb_mask))
+        tomb_batch = batch.filter(tomb_mask)
+    else:
+        data_batch, tomb_batch = batch, None
     n_data = n - n_tomb
+
+    d_value = _arr(data_batch.column("value"))
+    d_cols = cols_of(data_batch)
+    d_keys = keys_of(data_batch)
+    if tomb_batch is not None:
+        t_cols = cols_of(tomb_batch)
+        t_keys = keys_of(tomb_batch)
 
     out: dict[str, pa.Table] = {}
     for tp in plan.tables:
-        parts = [_data_rows(tp, value, batch_cols, key_arrs)]
+        parts = [_data_rows(tp, d_value, d_cols, d_keys)]
         if cfg.insert_mode == "upsert" and n_data:
-            parts.append(
-                _key_only_rows(tp, OP_MARKER, data_sel, batch_cols, key_arrs, n)
-            )
+            parts.append(_key_only_rows(tp, OP_MARKER, None, d_cols, d_keys, n_data))
         if n_tomb:
-            parts.append(
-                _key_only_rows(tp, OP_DELETE, tomb_sel, batch_cols, key_arrs, n)
-            )
+            parts.append(_key_only_rows(tp, OP_DELETE, None, t_cols, t_keys, n_tomb))
         out[tp.table] = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
     return out
