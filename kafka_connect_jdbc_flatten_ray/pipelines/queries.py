@@ -62,10 +62,26 @@ SELECT
 # ---------------------------------------------------------------------------
 
 
+# materialized-envelope cache: the 3-4 per-table queries of one config
+# variant share a single flatten run (envelopes are small — the compressed
+# exchange payloads — so pinning them in the object store is cheap)
+_ENV_CACHE: dict = {}
+
+
+def _cached_env(sf_dir: str, kind: str, build):
+    key = (sf_dir, kind)
+    if key not in _ENV_CACHE:
+        _ENV_CACHE[key] = build().materialize()
+    return _ENV_CACHE[key]
+
+
 def _upsert_state(sf_dir: str, table: str) -> ray.data.Dataset:
     cfg = ingest.default_config()
     plan = ingest.default_plan(cfg)
-    env = ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg)
+    env = _cached_env(
+        sf_dir, "upsert",
+        lambda: ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg),
+    )
     return ingest.table_state(env, plan, table)
 
 
@@ -116,10 +132,15 @@ FROM d WHERE doc_id % 7 <> 0
 
 
 def _insert_state(sf_dir: str, table: str, cfg=None) -> ray.data.Dataset:
+    custom = cfg is not None
     cfg = cfg or ingest.default_config(insert_mode="insert", delete_enabled=False)
     plan = ingest.default_plan(cfg)
-    events = ingest.event_stream(sf_dir, include_tombstones=False)
-    env = ingest.flatten_envelopes(events, cfg)
+
+    def build():
+        events = ingest.event_stream(sf_dir, include_tombstones=False)
+        return ingest.flatten_envelopes(events, cfg)
+
+    env = build() if custom else _cached_env(sf_dir, "insert", build)
     return ingest.table_state(env, plan, table)
 
 
