@@ -187,6 +187,7 @@ def run_epoch(
     num_partitions: int = 8,
     replicate: int = 1,
     concurrency=(2, 8),
+    evolve_from: int | None = None,
 ) -> dict:
     """One ingest epoch: tail -> flatten -> merge -> commit. Resumable: a
     rerun skips events at/below the checkpoint and rewrites this epoch's
@@ -205,7 +206,8 @@ def run_epoch(
         for b, path in TableManifest(lake_root, tp.table).current_files().items():
             prior_files[(tp.table, b)] = path
 
-    events = event_stream(sf_dir, num_partitions, True, replicate)
+    events = event_stream(sf_dir, num_partitions, True, replicate,
+                          evolve_from=evolve_from)
     events = filter_after_checkpoint(events, offsets)
     env = flatten_envelopes(events, cfg, concurrency=concurrency)
     stats_ds = env.groupby(["table", "bucket"]).map_groups(

@@ -77,6 +77,29 @@ class TestEvolution:
         tags = ingest.table_state(env, plan2, "t_file_tags").take_all()
         assert sorted(r["tags"] for r in tags) == ["x", "y"]
 
+    def test_lake_evolution_across_epochs(self, ray_session, cfg, tmp_path):
+        # epoch 0: generation-1 schema; epoch 1: a new replica arrives with
+        # evolved events -> the lake table gains the 'branch' column, old
+        # rows read back as null (prior bucket files merged with promotion)
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        sf = "/root/testdata/sf0.001"
+        lake = str(tmp_path / "lake_evo")
+        ingest.run_epoch(sf, lake, replicate=1)
+        ingest.run_epoch(sf, lake, replicate=2, evolve_from=1)
+        ds = ingest.read_lake_table(lake, "cdc_filechange")
+        names = ds.schema().names
+        assert "branch" in names
+        rows = ds.take_all()
+        old = [r for r in rows if "doc_0." in r["filechangekey_path"]
+               or int(r["filechangekey_path"].split("doc_")[1].split(".")[0]) < 10_000_000]
+        new = [r for r in rows
+               if int(r["filechangekey_path"].split("doc_")[1].split(".")[0]) >= 10_000_000]
+        assert new, "evolved replica missing"
+        # evolved rows with version >= 1 carry branch='main'
+        assert all(r["branch"] == "main" for r in new if r["version"] >= 1)
+        assert all(r["branch"] is None for r in old if r["version"] == 0)
+
     def test_upsert_across_generations(self, ray_session, cfg):
         # same key written in v1 then upserted with v2 -> v2 row wins
         t1 = events_table(V1, [{"name": "a", "size": 1}], [{"id": 1}], [0])
