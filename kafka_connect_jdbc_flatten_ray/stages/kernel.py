@@ -191,9 +191,12 @@ def flatten_event_batch(
     drop a struct column's validity bitmap (leaving tombstone rows looking
     non-null).
     """
+    import numpy as np
+
     n = batch.num_rows
     names = set(batch.column_names)
     value = _arr(batch.column("value"))
+    key = _arr(batch.column("key")) if "key" in names else None
 
     tomb_mask = pc.is_null(value)
     if "op" in names:
@@ -205,49 +208,50 @@ def flatten_event_batch(
             "(JdbcSinkConfig delete.enabled semantics)"
         )
 
-    def cols_of(b: pa.Table) -> dict[str, pa.Array]:
-        m = b.num_rows
-        bn = set(b.column_names)
-        return {
-            "topic": _arr(b.column("topic")),
-            "partition": _arr(b.column("partition")),
-            "offset": _arr(b.column("offset")),
-            "timestamp": _arr(b.column("timestamp")) if "timestamp" in bn
-            else pa.nulls(m, pa.timestamp("ms")),
-            "timestamp_type": _arr(b.column("timestamp_type")) if "timestamp_type" in bn
-            else pa.array(["CreateTime"] * m, pa.string()),
-        }
+    if n_tomb and value.null_count < n_tomb:
+        # op='D' rows whose value struct is NOT null (a Ray block unification
+        # can promote mixed-schema yields and drop the struct validity
+        # bitmap): rebuild the validity bits, zero-copy children
+        keep = pc.and_(pc.is_valid(value), pc.invert(tomb_mask))
+        bits = np.packbits(
+            keep.to_numpy(zero_copy_only=False), bitorder="little"
+        )
+        value = pa.StructArray.from_buffers(
+            value.type, n, [pa.py_buffer(bits.tobytes())],
+            children=[value.field(i) for i in range(value.type.num_fields)],
+        )
 
-    def keys_of(b: pa.Table) -> dict[str, pa.Array]:
-        key = _arr(b.column("key")) if "key" in set(b.column_names) else None
-        out: dict[str, pa.Array] = {}
-        for col, kfield, dtype in plan.key_pks:
-            v = key if kfield is None else pc.struct_field(key, kfield)
-            if v.type != dtype:
-                v = pc.cast(v, dtype)
-            out[col] = v
-        return out
+    batch_cols = {
+        "topic": _arr(batch.column("topic")),
+        "partition": _arr(batch.column("partition")),
+        "offset": _arr(batch.column("offset")),
+        "timestamp": _arr(batch.column("timestamp")) if "timestamp" in names
+        else pa.nulls(n, pa.timestamp("ms")),
+        "timestamp_type": _arr(batch.column("timestamp_type")) if "timestamp_type" in names
+        else pa.array(["CreateTime"] * n, pa.string()),
+    }
 
-    if n_tomb:
-        data_batch = batch.filter(pc.invert(tomb_mask))
-        tomb_batch = batch.filter(tomb_mask)
-    else:
-        data_batch, tomb_batch = batch, None
+    key_arrs: dict[str, pa.Array] = {}
+    for col, kfield, dtype in plan.key_pks:
+        v = key if kfield is None else pc.struct_field(key, kfield)
+        if v.type != dtype:
+            v = pc.cast(v, dtype)
+        key_arrs[col] = v
+
+    tomb_sel = pc.indices_nonzero(tomb_mask) if n_tomb else None
+    data_sel = pc.indices_nonzero(pc.invert(tomb_mask)) if n_tomb else None
     n_data = n - n_tomb
-
-    d_value = _arr(data_batch.column("value"))
-    d_cols = cols_of(data_batch)
-    d_keys = keys_of(data_batch)
-    if tomb_batch is not None:
-        t_cols = cols_of(tomb_batch)
-        t_keys = keys_of(tomb_batch)
 
     out: dict[str, pa.Table] = {}
     for tp in plan.tables:
-        parts = [_data_rows(tp, d_value, d_cols, d_keys)]
+        parts = [_data_rows(tp, value, batch_cols, key_arrs)]
         if cfg.insert_mode == "upsert" and n_data:
-            parts.append(_key_only_rows(tp, OP_MARKER, None, d_cols, d_keys, n_data))
+            parts.append(
+                _key_only_rows(tp, OP_MARKER, data_sel, batch_cols, key_arrs, n)
+            )
         if n_tomb:
-            parts.append(_key_only_rows(tp, OP_DELETE, None, t_cols, t_keys, n_tomb))
+            parts.append(
+                _key_only_rows(tp, OP_DELETE, tomb_sel, batch_cols, key_arrs, n)
+            )
         out[tp.table] = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
     return out
