@@ -249,6 +249,41 @@ def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
     return ds.drop_columns([c for c in (PART_COL, OFF_COL) if c in ds.schema().names])
 
 
+def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:
+    """Point lookup by key-PK: bucket pruning reads ONE bucket file.
+
+    ``key_values`` maps key-pk column names to values in plan column order;
+    the bucket is recomputed with the same hash the writer used, so only
+    lake/{table}/bucket=<h>/... is scanned.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    cfg = default_config()
+    plan = default_plan(cfg)
+    tp = next(t for t in plan.tables if t.table == table)
+    df = pd.DataFrame({c: [key_values[c]] for c in tp.key_pk_cols})
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    bucket = int(h[0] % np.uint64(cfg.num_buckets))
+    path = TableManifest(lake_root, table).current_files().get(bucket)
+    if path is None:
+        return []
+    t = pq.read_table(path)
+    mask = None
+    for c, v in key_values.items():
+        m = pc.equal(t.column(c), v)
+        mask = m if mask is None else pc.and_(mask, m)
+    out = t.filter(mask)
+    return final_columns_table(out)
+
+
+def final_columns_table(t: pa.Table) -> list[dict]:
+    from kafka_connect_jdbc_flatten_ray.stages.merge import final_columns
+
+    return final_columns(t).to_pylist()
+
+
 def lake_status(lake_root: str) -> dict:
     """Manifest/lineage summary per table (epochs, rows, bucket counts)."""
     import os
