@@ -246,7 +246,9 @@ def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
     """Current state of a lake table, resolved through its manifest."""
     files = TableManifest(lake_root, table).current_files()
     ds = ray.data.read_parquet(sorted(files.values()))
-    return ds.drop_columns([c for c in (PART_COL, OFF_COL) if c in ds.schema().names])
+    # drop internal order columns and the hive-inferred bucket= partition col
+    drop = [c for c in (PART_COL, OFF_COL, "bucket") if c in ds.schema().names]
+    return ds.drop_columns(drop)
 
 
 def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:
