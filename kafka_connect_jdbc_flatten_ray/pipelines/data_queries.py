@@ -41,6 +41,10 @@ def q_dedup_minhash_keep(sf_dir: str):
     return dedup.dedup_minhash_keep(_docs(sf_dir), threshold=0.95)
 
 
+def q_dedup_clusters(sf_dir: str):
+    return dedup.dedup_minhash_clusters(_docs(sf_dir), threshold=0.9)
+
+
 def q_approx_distinct_users(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages.sketches import approx_distinct
 
@@ -198,6 +202,7 @@ def data_queries() -> dict:
         "dedup_ngram_jaccard_pairs": q_dedup_ngram,
         "dedup_embedding_pairs": q_dedup_embedding,
         "dedup_minhash_keep": q_dedup_minhash_keep,
+        "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
         "token_count": q_token_count,
         "text_quality": q_text_quality,

@@ -250,6 +250,43 @@ def dedup_ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5):
     return dedup_minhash_pairs(docs, threshold, shingles="char")
 
 
+def dedup_minhash_clusters(
+    docs: ray.data.Dataset, threshold: float = 0.9, shingles: str = "word"
+) -> ray.data.Dataset:
+    """Near-duplicate cluster assignment: (doc_id, cluster_id) where
+    cluster_id = min doc_id of the connected component over LSH candidate
+    pairs. The candidate-pair set is tiny relative to the corpus (star
+    edges, near-dup rate), so components are solved with union-find on the
+    driver and the doc->cluster mapping is broadcast back into a vectorized
+    labeling pass — the documented pattern for provably-small pair sets."""
+    pairs = dedup_minhash_pairs(docs, threshold, shingles).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(int(p["doc_a"])), find(int(p["doc_b"]))
+        if a != b:
+            lo, hi = min(a, b), max(a, b)
+            parent[hi] = lo
+    mapping = {d: find(d) for d in list(parent)}
+    import ray as _ray
+
+    mref = _ray.put(mapping)
+
+    def _label(t: pa.Table) -> pa.Table:
+        m = _ray.get(mref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lab = np.array([m.get(int(i), int(i)) for i in ids], np.int64)
+        return pa.table({"doc_id": t.column("doc_id"), "cluster_id": pa.array(lab)})
+
+    return docs.map_batches(_label, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_minhash_keep(
     docs: ray.data.Dataset, threshold: float = 0.9, shingles: str = "word"
 ) -> ray.data.Dataset:

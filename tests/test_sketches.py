@@ -60,3 +60,15 @@ class TestMinhashKeep:
             r["doc_id"] for r in dedup.dedup_minhash_keep(docs, 0.95).take_all()
         )
         assert kept == [0, 2]
+
+    def test_cluster_assignment(self, ray_session):
+        from kafka_connect_jdbc_flatten_ray.stages import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [base, base, "unrelated words entirely different content here", base]
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": [0, 1, 2, 3], "text": texts})
+        )
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dedup_minhash_clusters(docs, 0.9).take_all()}
+        assert got == {0: 0, 1: 0, 2: 2, 3: 0}
