@@ -3,7 +3,7 @@
 Headline: full CDC ingest replay (tail -> flatten -> hash-shuffle merge ->
 Parquet lake commit) over a synthetic change-event stream derived from
 ``$GRAFT_SF_DIR/documents.parquet`` (default /root/testdata/sf0.1),
-replicated ``BENCH_REPLICATE`` times (default 500 -> ~5.4M events at sf0.1).
+replicated ``BENCH_REPLICATE`` times (default 1000 -> ~10.7M events at sf0.1).
 
 Prints ONE JSON line:
     {"metric": "...", "value": <headline sec>, "unit": "sec",
@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "500"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "1000"))
 
 
 def _init_ray():
@@ -51,16 +51,28 @@ def _init_ray():
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
 
+def _warm_imports(batch):
+    # runs in every Ray worker: pre-import the engine + heavy deps so the
+    # timed pipeline doesn't pay a per-worker import storm
+    import pandas  # noqa: F401
+
+    import kafka_connect_jdbc_flatten_ray.stages.flatten_stage  # noqa: F401
+    import kafka_connect_jdbc_flatten_ray.stages.kernel  # noqa: F401
+    import kafka_connect_jdbc_flatten_ray.stages.merge  # noqa: F401
+
+    return batch
+
+
 def _warm_cache():
-    # one untimed read so we measure compute + shuffle, not cold disk,
-    # and one trivial pipeline so Ray worker processes are already spawned
+    # one untimed read so we measure compute + shuffle, not cold disk, and
+    # one pipeline that spawns every worker AND imports the engine in each
     import pyarrow.parquet as pq
     import ray.data as rd
 
     pq.read_table(f"{SF_DIR}/documents.parquet")
     pq.read_table(f"{SF_DIR}/events.parquet")
-    rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
-        lambda b: b
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm_imports, num_cpus=1
     ).count()
 
 
