@@ -244,8 +244,27 @@ def _propagate_pk_owners(
 def _extract_key_pks(
     cfg: SinkConfig, key_type: pa.DataType | None, key_name: str | None
 ) -> tuple[tuple[tuple[str, str | None, pa.DataType], ...], str]:
-    """Key-PK resolution — FlattenTransformation.java:334-368 (F8)."""
-    if key_type is None or cfg.pk_mode != "flatten":
+    """Key-PK resolution — FlattenTransformation.java:334-368 (F8).
+
+    pk_mode=record_key with flatten: the sink-level FieldsMetadata path
+    (FieldsMetadata.java:126-188, oracle JdbcSinkTaskTestPostgresArray.java
+    :1877-2010) — key fields become simply-named PK columns in every table
+    (pk.fields filters them; empty = all key fields).
+    """
+    if key_type is None or cfg.pk_mode not in ("flatten", "record_key"):
+        return (), "none"
+    if cfg.pk_mode == "record_key":
+        if not _is_container(key_type):
+            name = cfg.pk_fields_lc[0] if cfg.pk_fields_lc else "key"
+            return ((ucase(cfg, name), None, key_type),), "primitive"
+        if _is_struct(key_type):
+            wanted = set(cfg.pk_fields_lc)
+            pks = [
+                (ucase(cfg, f.name), f.name, f.type)
+                for f in key_type
+                if not wanted or f.name.lower() in wanted
+            ]
+            return tuple(pks), "struct"
         return (), "none"
     kname = container_pathname(key_name)
     if not _is_container(key_type):
@@ -282,7 +301,8 @@ def build_plan(
     _walk(cfg, root_name, "", value_type, False, 0, [], leaves)
 
     key_pks, key_kind = _extract_key_pks(cfg, key_type, key_schema_name)
-    if cfg.delete_enabled and cfg.pk_mode == "flatten" and key_type is not None and not key_pks:
+    if (cfg.delete_enabled and cfg.pk_mode in ("flatten", "record_key")
+            and key_type is not None and not key_pks):
         raise ValueError(
             f"delete_enabled with pk_mode=flatten but none of pk.fields {cfg.pk_fields} "
             "resolve into the key schema"

@@ -137,6 +137,43 @@ class TestSalesUpsert:
         assert len(out["sales_salesevent_payment_productcodes"]) == 0
 
 
+class TestSalesRecordKeyPk:
+    """pk.mode=record_key with flatten (JdbcSinkTaskTestPostgresArray.java
+    :1877-2010): key fields become simply-named PK columns everywhere."""
+
+    CFG = SinkConfig(
+        pk_mode="record_key",
+        pk_fields=("salesNo",),
+        pk_propagate_value_fields=("salesevent.payment.id",),
+        insert_mode="upsert",
+        delete_enabled=True,
+    )
+
+    def test_key_columns_and_upsert(self):
+        plan = build_plan(self.CFG, "Sales", SALESEVENT, "salesEvent",
+                          SALESKEY, "salesKey")
+        for tp in plan.tables:
+            assert tp.key_pk_cols == ("salesno",)
+        key = {"salesNo": "132323", "customerNo": "9789789"}
+        e1 = {"payment": {"sumPayed": "1", "id": "X", "productCodes": ["a", "b"]},
+              "companyNo": "NO", "salesInfo": {"id": "1", "staff": [
+                  {"supportType": "m",
+                   "employee": {"id": "e1", "departmentNo": "d", "mobile": "m"}}]}}
+        e2 = {"payment": {"sumPayed": "1", "id": "X", "productCodes": ["c"]},
+              "companyNo": "NO", "salesInfo": {"id": "1", "staff": [
+                  {"supportType": "s",
+                   "employee": {"id": "e2", "departmentNo": "d", "mobile": "m"}}]}}
+        ev = batch([e1, e2], [key, key], [1, 2])
+        out = merged(plan, self.CFG, ev)
+        assert len(out["sales_salesevent"]) == 1
+        assert out["sales_salesevent"][0]["salesno"] == "132323"
+        staff = out["sales_salesevent_salesinfo_staff"]
+        assert len(staff) == 1 and staff[0]["supporttype"] == "s"
+        codes = out["sales_salesevent_payment_productcodes"]
+        assert [r["productcodes"] for r in codes] == ["c"]
+        assert codes[0]["salesno"] == "132323"
+
+
 RECORD4 = pa.struct([pa.field("long", pa.int64()), pa.field("modified", pa.timestamp("ms"))])
 RECORD3 = pa.struct([pa.field("string", pa.string()), pa.field("float", pa.float32())])
 RECORD2 = pa.struct([pa.field("string", pa.string()), pa.field("float", pa.float32()),
