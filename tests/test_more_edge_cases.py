@@ -93,6 +93,24 @@ class TestHotKeySkew:
         assert dt < 5.0, f"hot-key merge took {dt:.1f}s"
 
 
+class TestOutOfOrderDelivery:
+    def test_shuffled_stream_same_final_state(self, ray_session, sf_dir):
+        # events delivered in random order across blocks must merge to the
+        # same final state — the replay rule depends only on (partition,
+        # offset) ranks, never on arrival order (ST3 analogue)
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        cfg_ = ingest.default_config()
+        plan = ingest.default_plan(cfg_)
+        env1 = ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg_)
+        d1 = dataset_digest(ingest.table_state(env1, plan, "cdc_filechange_lines"))
+        shuffled = ingest.event_stream(sf_dir).random_shuffle(seed=7)
+        env2 = ingest.flatten_envelopes(shuffled, cfg_)
+        d2 = dataset_digest(ingest.table_state(env2, plan, "cdc_filechange_lines"))
+        assert d1 == d2
+
+
 class TestPathConsistency:
     def test_query_path_equals_lake_path(self, ray_session, sf_dir, tmp_path):
         from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
