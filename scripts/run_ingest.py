@@ -24,6 +24,12 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--grow", action="store_true",
+        help="micro-batch demo: epoch e sees replicate=e+1 (one new replica "
+        "of the keyspace arrives per epoch; the checkpoint filter ingests "
+        "only the new tail)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -44,9 +50,10 @@ def main() -> None:
 
     from kafka_connect_jdbc_flatten_ray.pipelines import ingest
 
-    for _ in range(args.epochs):
+    for e in range(args.epochs):
+        rep = (e + 1) if args.grow else args.replicate
         t0 = time.perf_counter()
-        res = ingest.run_epoch(args.sf_dir, args.lake, replicate=args.replicate)
+        res = ingest.run_epoch(args.sf_dir, args.lake, replicate=rep)
         res["sec"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(res))
     ray.shutdown()
