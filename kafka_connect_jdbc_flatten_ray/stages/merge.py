@@ -57,6 +57,11 @@ MERGE_STATS_SCHEMA = pa.schema(
 def _rank(tbl: pa.Table) -> np.ndarray:
     part = tbl.column(PART_COL).to_numpy(zero_copy_only=False).astype(np.int64)
     off = tbl.column(OFF_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(off) and int(off.max()) >= (1 << OFFSET_BITS):
+        raise ValueError(
+            f"offset {int(off.max())} exceeds the {OFFSET_BITS}-bit rank "
+            "budget; raise OFFSET_BITS (partitions shrink accordingly)"
+        )
     return (part << OFFSET_BITS) | off
 
 

@@ -304,8 +304,8 @@ def build_plan(
     if (cfg.delete_enabled and cfg.pk_mode in ("flatten", "record_key")
             and key_type is not None and not key_pks):
         raise ValueError(
-            f"delete_enabled with pk_mode=flatten but none of pk.fields {cfg.pk_fields} "
-            "resolve into the key schema"
+            f"delete_enabled with pk_mode={cfg.pk_mode} but none of pk.fields "
+            f"{cfg.pk_fields} resolve into the key schema"
         )
 
     pk_owners = _propagate_pk_owners(cfg, leaves)
