@@ -89,6 +89,65 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed training-data pipeline: quality filter (>=10 tokens and at
+    least one stopword hit) -> exact dedup -> corpus stats. One row out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    quality = _docs(sf_dir).map_batches(
+        textops.QualityScore, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column("n_tokens"), 10),
+                    pc.greater_equal(t.column("stop_hits"), 1))
+        ),
+        batch_format="pyarrow",
+    )
+    kept_ids = {r["doc_id"] for r in quality.select_columns(["doc_id"]).take_all()}
+    # exact dedup among the kept docs (broadcast the kept-id set)
+    import ray as _ray
+
+    ref = _ray.put(kept_ids)
+
+    def _filter_kept(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, list(_ray.get(ref)))
+        return t.filter(pa.array(keep))
+
+    docs_kept = _docs(sf_dir).map_batches(_filter_kept, batch_format="pyarrow")
+    winners = dedup.dedup_exact(docs_kept)
+    n_docs = winners.count()
+    tok = quality.select_columns(["doc_id", "n_tokens"]).take_all()
+    tok_by_id = {r["doc_id"]: r["n_tokens"] for r in tok}
+    win_ids = [r["doc_id"] for r in winners.take_all()]
+    total_tokens = sum(tok_by_id[d] for d in win_ids)
+    import pandas as pd
+
+    return pd.DataFrame({"n_docs": [n_docs], "total_tokens": [int(total_tokens)]})
+
+
+ORACLE_CORPUS_PREP = """
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','and','of','to','a','in','is','it'))) AS stop_hits
+  FROM documents
+), kept AS (
+  SELECT * FROM q WHERE n_tokens >= 10 AND stop_hits >= 1
+), winners AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens FROM kept GROUP BY text
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM winners
+"""
+
+
 def q_ann_topk(sf_dir: str):
     return ann.ann_topk(sf_dir, k=5, num_queries=8)
 
@@ -208,6 +267,7 @@ def data_queries() -> dict:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "corpus_prep": q_corpus_prep,
         "ann_cosine_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
         "media_image_decode": q_media_decode,
@@ -230,6 +290,7 @@ def data_oracles() -> dict:
         "token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
+        "corpus_prep": ORACLE_CORPUS_PREP,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "media_video_frames": ORACLE_VIDEO_FRAMES,
         # minhash/simhash/ngram/embedding pairs, fingerprint, ivf,

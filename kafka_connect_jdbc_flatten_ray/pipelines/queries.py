@@ -239,6 +239,51 @@ SELECT
 """ + _COORDS.format(v="maxv") + "FROM d WHERE doc_id % 7 <> 0"
 
 
+def cdc_lines_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """The reference's motivating downstream use (README.md:32-34): users
+    JOIN flattened child tables back to parents via the propagated PKs.
+    Final lines state hash-joined to final root state on the key-PK tuple,
+    then line counts per root language."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kafka_connect_jdbc_flatten_ray.stages.joins import hash_join
+    from ray.data.aggregate import Sum
+
+    root = _upsert_state(sf_dir, "cdc_filechange").select_columns(
+        ["filechangekey_repo", "filechangekey_path", "lang"]
+    )
+    lines = _upsert_state(sf_dir, "cdc_filechange_lines").select_columns(
+        ["filechangekey_repo", "filechangekey_path", "lineno"]
+    )
+    joined = hash_join(
+        lines, root, on=("filechangekey_repo", "filechangekey_path"),
+        num_partitions=8,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "lang").aggregate([("lineno", "count")])
+        return g.rename_columns(["lang", "n_part"])
+
+    agg = joined.map_batches(_partial, batch_format="pyarrow").groupby(
+        "lang"
+    ).aggregate(Sum("n_part", alias_name="n_lines"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"lang": t.column("lang"),
+             "n_lines": pc.cast(t.column("n_lines"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_LINES_PER_LANG = _D + """
+SELECT lang, CAST(SUM(len(string_split(text, chr(10)))) AS BIGINT) AS n_lines
+FROM d WHERE doc_id % 7 <> 0
+GROUP BY lang
+"""
+
+
 def cdc_root_upsert_uppercase(sf_dir: str) -> ray.data.Dataset:
     """Uppercase naming variant of the upsert root state
     (JdbcSinkTaskTestPostgresArrayDelete.java:625-809)."""
@@ -318,6 +363,7 @@ def cdc_queries() -> dict:
         "cdc_renamed_whitelist": cdc_renamed_whitelist,
         "cdc_root_upsert_uppercase": cdc_root_upsert_uppercase,
         "cdc_root_upsert_evolved": cdc_root_upsert_evolved,
+        "cdc_lines_per_lang": cdc_lines_per_lang,
         "source_bulk": queriers.source_bulk,
         "source_incrementing": queriers.source_incrementing,
         "source_timestamp": queriers.source_timestamp,
@@ -336,6 +382,7 @@ def cdc_oracles() -> dict:
         "cdc_renamed_whitelist": ORACLE_RENAMED_WHITELIST,
         "cdc_root_upsert_uppercase": ORACLE_ROOT_UPSERT_UPPERCASE,
         "cdc_root_upsert_evolved": ORACLE_ROOT_UPSERT_EVOLVED,
+        "cdc_lines_per_lang": ORACLE_LINES_PER_LANG,
         "source_bulk": ORACLE_SOURCE_BULK,
         "source_incrementing": ORACLE_SOURCE_INCREMENTING,
         "source_timestamp": ORACLE_SOURCE_TIMESTAMP,
