@@ -41,7 +41,10 @@ class CheckpointStore:
             return {}
         with open(self._path(epoch)) as f:
             data = json.load(f)
-        return {int(k): int(v) for k, v in data["offsets"].items()}
+        # dual-protocol restore (OffsetProtocols.java:37-59 analogue): V1
+        # wraps offsets under a key; V0 is the bare {partition: offset} map
+        offsets = data["offsets"] if "offsets" in data else data
+        return {int(k): int(v) for k, v in offsets.items()}
 
     def save(self, epoch: int, offsets: dict[int, int], metrics: dict | None = None) -> str:
         path = self._path(epoch)

@@ -35,7 +35,7 @@ VALUE = pa.struct([pa.field("INT", pa.int32()), pa.field("ROOTRECORD", ROOTRECOR
 KEY = pa.struct([pa.field("INT", pa.int32())])
 
 
-def batch(values, keys, offsets, cfg_topic="avrotopic"):
+def batch(values, keys, offsets, cfg_topic="avrotopic", value_type=None):
     n = len(values)
     return pa.table(
         {
@@ -45,7 +45,7 @@ def batch(values, keys, offsets, cfg_topic="avrotopic"):
             "timestamp": pa.array([1_600_000_000_000] * n, pa.timestamp("ms")),
             "timestamp_type": pa.array(["CreateTime"] * n),
             "key": pa.array(keys, KEY),
-            "value": pa.array(values, VALUE),
+            "value": pa.array(values, value_type or VALUE),
         }
     )
 
@@ -110,6 +110,36 @@ class TestAvroCorpus:
             "avrotopic_nestedtestvalue_rootrecord_childrecord_childlist"
         ].to_pylist() if r["__op"] == "I"]
         assert child == []
+
+
+class TestLogicalTypes:
+    def test_date_time_decimal_leaves(self):
+        # Date/Time/Timestamp/Decimal logical types
+        # (PostgreSqlDatabaseDialect.java:212-224 bind surface)
+        import datetime as dt
+
+        t = pa.struct(
+            [
+                pa.field("d", pa.date32()),
+                pa.field("t", pa.time32("ms")),
+                pa.field("ts", pa.timestamp("ms")),
+                pa.field("dec", pa.decimal128(10, 3)),
+            ]
+        )
+        c = cfg()
+        plan = build_plan(c, "atopic", t, None)
+        v = {
+            "d": dt.date(2021, 3, 4),
+            "t": dt.time(12, 34, 56),
+            "ts": dt.datetime(2021, 3, 4, 12, 0, 0),
+            "dec": Decimal("1234567.891"),
+        }
+        out = flatten_event_batch(plan, c, batch([v], [{"INT": 1}], [0], value_type=t))
+        r = [x for x in out["atopic_root"].to_pylist() if x["__op"] == "I"][0]
+        assert r["d"] == dt.date(2021, 3, 4)
+        assert r["t"] == dt.time(12, 34, 56)
+        assert r["ts"] == dt.datetime(2021, 3, 4, 12, 0)
+        assert r["dec"] == Decimal("1234567.891")
 
 
 class TestCoordinateVariants:

@@ -32,6 +32,14 @@ class TestCheckpoints:
         ck.save(0, {0: 1})
         assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
 
+    def test_v0_protocol_restore(self, tmp_path):
+        # a bare {partition: offset} file (the V0 protocol analogue,
+        # OffsetProtocols.java:37-59) restores identically to V1
+        ck = CheckpointStore(str(tmp_path))
+        with open(os.path.join(tmp_path, "checkpoint-000000.json"), "w") as f:
+            json.dump({"0": 10, "3": 7}, f)
+        assert ck.load() == {0: 10, 3: 7}
+
 
 class TestManifest:
     def test_publish_merges_buckets_and_keeps_lineage(self, tmp_path):
