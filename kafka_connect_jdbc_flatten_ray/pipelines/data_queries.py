@@ -90,44 +90,47 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_corpus_prep(sf_dir: str):
-    """Composed training-data pipeline: quality filter (>=10 tokens and at
-    least one stopword hit) -> exact dedup -> corpus stats. One row out."""
+    """Composed training-data pipeline, fully distributed (nothing per-doc
+    touches the driver): one pass computes quality metrics + content
+    fingerprints and filters (>=10 tokens, >=1 stopword hit); a groupby on
+    the fingerprint pair dedups exactly (n_tokens rides along — it is
+    functionally dependent on the text); a final tiny aggregate emits the
+    corpus stats. One row out."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
 
-    quality = _docs(sf_dir).map_batches(
-        textops.QualityScore, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
-    ).map_batches(
-        lambda t: t.filter(
-            pc.and_(pc.greater_equal(t.column("n_tokens"), 10),
-                    pc.greater_equal(t.column("stop_hits"), 1))
-        ),
-        batch_format="pyarrow",
-    )
-    kept_ids = {r["doc_id"] for r in quality.select_columns(["doc_id"]).take_all()}
-    # exact dedup among the kept docs (broadcast the kept-id set)
-    import ray as _ray
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import _fingerprints, _text_col
 
-    ref = _ray.put(kept_ids)
-
-    def _filter_kept(t: pa.Table) -> pa.Table:
+    def _stage(t: pa.Table) -> pa.Table:
+        q = textops.QualityScore()(t)
+        keep = pc.and_(
+            pc.greater_equal(q.column("n_tokens"), 10),
+            pc.greater_equal(q.column("stop_hits"), 1),
+        )
+        kept = t.filter(keep)
+        qk = q.filter(keep)
+        h1, h2 = _fingerprints(_text_col(kept))
         import numpy as np
 
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, list(_ray.get(ref)))
-        return t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2.view(np.int64)),
+                "doc_id": kept.column("doc_id"),
+                "n_tokens": qk.column("n_tokens"),
+            }
+        )
 
-    docs_kept = _docs(sf_dir).map_batches(_filter_kept, batch_format="pyarrow")
-    winners = dedup.dedup_exact(docs_kept)
-    n_docs = winners.count()
-    tok = quality.select_columns(["doc_id", "n_tokens"]).take_all()
-    tok_by_id = {r["doc_id"]: r["n_tokens"] for r in tok}
-    win_ids = [r["doc_id"] for r in winners.take_all()]
-    total_tokens = sum(tok_by_id[d] for d in win_ids)
+    hashed = _docs(sf_dir).map_batches(_stage, batch_format="pyarrow", zero_copy_batch=True)
+    winners = hashed.groupby(["h1", "h2"]).min(["doc_id", "n_tokens"])
+    stats = winners.aggregate(Count(alias_name="n_docs"),
+                              Sum("min(n_tokens)", alias_name="total_tokens"))
     import pandas as pd
 
-    return pd.DataFrame({"n_docs": [n_docs], "total_tokens": [int(total_tokens)]})
+    return pd.DataFrame(
+        {"n_docs": [int(stats["n_docs"])], "total_tokens": [int(stats["total_tokens"])]}
+    )
 
 
 ORACLE_CORPUS_PREP = """
