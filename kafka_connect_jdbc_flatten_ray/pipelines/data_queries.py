@@ -151,6 +151,33 @@ FROM winners
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence-packing layout (group, seq_idx, real-token count) — the
+    token payloads are hash-ids (rows-only material), but the packing
+    LAYOUT is pure arithmetic and oracle-checked."""
+    from kafka_connect_jdbc_flatten_ray.stages.export import pack_sequences
+
+    seqs = pack_sequences(_docs(sf_dir), seq_len=128, group_size=100)
+    return seqs.select_columns(["group", "seq_idx", "n_real"])
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH g AS (
+  SELECT doc_id // 100 AS grp,
+         SUM(len(string_split(text, ' '))) AS total
+  FROM documents GROUP BY doc_id // 100
+), s AS (
+  SELECT grp, unnest(range(CAST((total + 127) // 128 AS BIGINT))) AS seq_idx,
+         total
+  FROM g
+)
+SELECT CAST(grp AS BIGINT) AS "group",
+       CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(least(128, total - seq_idx * 128) AS BIGINT) AS n_real
+FROM s
+"""
+
+
 def q_ann_topk(sf_dir: str):
     return ann.ann_topk(sf_dir, k=5, num_queries=8)
 
@@ -271,6 +298,7 @@ def data_queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "corpus_prep": q_corpus_prep,
+        "pack_sequences": q_pack_sequences,
         "ann_cosine_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
         "media_image_decode": q_media_decode,
@@ -294,6 +322,7 @@ def data_oracles() -> dict:
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "media_video_frames": ORACLE_VIDEO_FRAMES,
         # minhash/simhash/ngram/embedding pairs, fingerprint, ivf,

@@ -1,0 +1,123 @@
+"""Training-corpus output ops: sharded export and sequence packing.
+
+- export_corpus: resumable training-data layout — size-targeted Parquet
+  shards + a manifest (file list, row counts, order-insensitive content
+  digest) written after the data, so a consumer can verify completeness and
+  a rerun can skip the finished export.
+- pack_sequences: LLM-style sequence packing — token ids concatenated into
+  fixed-length sequences. Packing runs per doc-id-range group
+  (groupby(group).map_groups with in-group doc_id sort), so the output is
+  DETERMINISTIC regardless of block boundaries or parallelism — the
+  partitioning assumption is the doc_id-range grouping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
+
+
+def export_corpus(
+    ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 100_000
+) -> dict:
+    """Write sharded Parquet + manifest; returns the manifest dict."""
+    data_dir = os.path.join(out_dir, "data")
+    ds.write_parquet(data_dir, min_rows_per_file=min_rows_per_file)
+    files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    back = ray.data.read_parquet(files)
+    manifest = {
+        "files": [os.path.basename(f) for f in files],
+        "rows": back.count(),
+        "digest": dataset_digest(ray.data.read_parquet(files)),
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def verify_export(out_dir: str) -> bool:
+    """Re-read the shards and check the manifest digest."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(out_dir, "data", f) for f in manifest["files"]]
+    ds = ray.data.read_parquet(files)
+    return dataset_digest(ds) == manifest["digest"]
+
+
+PAD = np.int64(0)
+
+
+class _TokenizeStage:
+    """doc batch -> (group, doc_id, token ids list). Token id = stable
+    64-bit hash of the token (a stand-in vocabulary)."""
+
+    def __init__(self, group_size: int):
+        self.group_size = group_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        ids = pd.util.hash_pandas_object(
+            pd.Series(flat.to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy().view(np.int64)
+        ids = np.abs(ids) % np.int64(50_000) + 1  # 1..50000; 0 = PAD
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        tok_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(ids))
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "group": pa.array((doc_id // self.group_size).astype(np.int64)),
+                "doc_id": batch.column("doc_id"),
+                "tokens": tok_list,
+            }
+        )
+
+
+def _pack_group(seq_len: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")  # deterministic within the group
+        stream = np.concatenate([np.asarray(t, np.int64) for t in g["tokens"]])
+        n_seqs = -(-len(stream) // seq_len)
+        padded = np.full(n_seqs * seq_len, PAD, np.int64)
+        padded[: len(stream)] = stream
+        group = int(g["group"].iloc[0])
+        return pd.DataFrame(
+            {
+                "group": np.full(n_seqs, group, np.int64),
+                "seq_idx": np.arange(n_seqs, dtype=np.int64),
+                "tokens": list(padded.reshape(n_seqs, seq_len)),
+                "n_real": np.minimum(
+                    np.maximum(len(stream) - np.arange(n_seqs) * seq_len, 0), seq_len
+                ).astype(np.int64),
+            }
+        )
+
+    fn.__name__ = "pack_group"
+    return fn
+
+
+def pack_sequences(
+    docs: ray.data.Dataset, seq_len: int = 512, group_size: int = 1000
+) -> ray.data.Dataset:
+    """Pack whitespace-token id streams into fixed-length sequences,
+    deterministically per doc-id-range group."""
+    tok = docs.map_batches(
+        _TokenizeStage(group_size), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return tok.groupby("group").map_groups(_pack_group(seq_len), batch_format="pandas")
