@@ -124,12 +124,20 @@ def test_kernel_matches_reference_interpreter(seed):
         if ensure_has_leaf(value_type):
             break
     upsert = rng.random() < 0.5
+    mode_roll = rng.random()
+    if mode_roll < 0.6:
+        pk_mode, pk_fields = "flatten", ("keyrec.kid",)
+    elif mode_roll < 0.85:
+        pk_mode, pk_fields = "record_key", ("kid",)
+    else:
+        pk_mode, pk_fields = "flatten", ("keyrec.kid", "keyrec.kname")
     cfg = SinkConfig(
-        pk_mode="flatten",
-        pk_fields=("keyrec.kid",),
+        pk_mode=pk_mode,
+        pk_fields=pk_fields,
         insert_mode="upsert" if upsert else "insert",
         delete_enabled=upsert,
         flatten_coordinates=rng.random() < 0.7,
+        uppercase=rng.random() < 0.2,
     )
     plan = build_plan(cfg, "t", value_type, "com.example.ValRec", KEY_TYPE,
                       "com.example.KeyRec")
