@@ -151,6 +151,61 @@ FROM winners
 """
 
 
+def q_scrub_text(sf_dir: str):
+    from kafka_connect_jdbc_flatten_ray.stages.scrub import ScrubText
+
+    return _docs(sf_dir).map_batches(
+        ScrubText, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+ORACLE_SCRUB = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS text
+FROM documents
+"""
+
+
+def q_sample_30pct(sf_dir: str):
+    from kafka_connect_jdbc_flatten_ray.stages.scrub import deterministic_sample
+
+    return deterministic_sample(_docs(sf_dir), 30).select_columns(["doc_id"])
+
+
+ORACLE_SAMPLE = """
+SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 30
+"""
+
+
+def q_chunk_docs(sf_dir: str):
+    from kafka_connect_jdbc_flatten_ray.stages.scrub import ChunkDocs
+
+    return _docs(sf_dir).map_batches(
+        ChunkDocs(size=32, overlap=8), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ORACLE_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         unnest(range(CAST((greatest(0, n - 32) + 23) // 24 + 1 AS BIGINT))) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(w[chunk_idx * 24 + 1: chunk_idx * 24 + 32], ' ') AS chunk,
+       CAST(len(w[chunk_idx * 24 + 1: chunk_idx * 24 + 32]) AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence-packing layout (group, seq_idx, real-token count) — the
     token payloads are hash-ids (rows-only material), but the packing
@@ -298,6 +353,9 @@ def data_queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "corpus_prep": q_corpus_prep,
+        "scrub_text": q_scrub_text,
+        "sample_30pct": q_sample_30pct,
+        "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
         "ann_cosine_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
@@ -322,6 +380,9 @@ def data_oracles() -> dict:
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,
+        "scrub_text": ORACLE_SCRUB,
+        "sample_30pct": ORACLE_SAMPLE,
+        "chunk_docs": ORACLE_CHUNKS,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "media_video_frames": ORACLE_VIDEO_FRAMES,

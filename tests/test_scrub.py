@@ -1,0 +1,63 @@
+"""Corpus-hygiene operator tests: scrubbing, sampling, chunking,
+contamination (planted benchmark overlap)."""
+
+import pyarrow as pa
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages import scrub
+
+
+class TestScrub:
+    def test_email_and_numbers(self):
+        t = pa.table(
+            {"doc_id": [0, 1],
+             "text": ["mail me at a.b+c@test.org now", "card 1234567890 and 123"]}
+        )
+        out = scrub.ScrubText()(t).to_pylist()
+        assert out[0]["text"] == "mail me at <EMAIL> now"
+        assert out[1]["text"] == "card <NUM> and 123"
+
+
+class TestSample:
+    def test_deterministic_and_proportional(self, ray_session, sf_dir):
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        a = sorted(r["doc_id"] for r in scrub.deterministic_sample(docs, 30).take_all())
+        docs2 = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"],
+                                      override_num_blocks=5)
+        b = sorted(r["doc_id"] for r in scrub.deterministic_sample(docs2, 30).take_all())
+        assert a == b  # parallelism-independent
+        assert 0.15 < len(a) / 500 < 0.45
+
+
+class TestChunk:
+    def test_overlap_layout(self):
+        words = " ".join(f"w{i}" for i in range(40))
+        t = pa.table({"doc_id": [7], "text": [words]})
+        out = scrub.ChunkDocs(size=32, overlap=8)(t).to_pylist()
+        assert [r["chunk_idx"] for r in out] == [0, 1]
+        assert out[0]["n_chunk_tokens"] == 32
+        assert out[1]["n_chunk_tokens"] == 16
+        # overlap: chunk 1 starts at token 24
+        assert out[1]["chunk"].split(" ")[0] == "w24"
+
+    def test_short_doc_single_chunk(self):
+        t = pa.table({"doc_id": [1], "text": ["just three words"]})
+        out = scrub.ChunkDocs(size=32, overlap=8)(t).to_pylist()
+        assert len(out) == 1 and out[0]["n_chunk_tokens"] == 3
+
+
+class TestContamination:
+    def test_planted_overlap(self, ray_session):
+        bench = ["the secret benchmark question about unicorns and rainbows today ok"]
+        texts = [
+            "completely clean document with other words entirely here now",
+            # contains an 8-gram from the benchmark
+            "prefix words the secret benchmark question about unicorns and rainbows today ok suffix",
+            "another clean one with no overlap at all in any way",
+        ]
+        docs = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": texts}))
+        out = {r["doc_id"]: r["contaminated"]
+               for r in scrub.contamination_check(docs, bench, n=8).take_all()}
+        assert out == {0: False, 1: True, 2: False}
