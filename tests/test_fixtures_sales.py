@@ -137,6 +137,60 @@ class TestSalesUpsert:
         assert len(out["sales_salesevent_payment_productcodes"]) == 0
 
 
+class TestUpsertReplaceChildren:
+    """F-D upsert scenario (JdbcSinkTaskTestPostgresArray.java:1375-1581):
+    2 keys x 2 addresses, re-upserted -> 4 child rows, 2 root rows."""
+
+    ADDRESS = pa.struct([pa.field("street", pa.string()), pa.field("number", pa.int8())])
+    PERSON = pa.struct([
+        pa.field("firstname", pa.string()),
+        pa.field("float", pa.float32()),
+        pa.field("address", pa.list_(ADDRESS)),
+    ])
+    PKEY = pa.struct([pa.field("keyInt", pa.int32()), pa.field("keyName", pa.string())])
+
+    CFG = SinkConfig(
+        pk_mode="flatten",
+        pk_fields=("personkey.keyint", "person.address.address.street"),
+        pk_propagate_value_fields=("person.float",),
+        insert_mode="upsert",
+        delete_enabled=True,
+    )
+
+    def test_reupsert_replaces_full_child_set(self):
+        plan = build_plan(self.CFG, "atopic", self.PERSON, "com.example.Person",
+                          self.PKEY, "com.example.PersonKey")
+        k1 = {"keyInt": 1, "keyName": "a"}
+        k2 = {"keyInt": 2, "keyName": "b"}
+        p = lambda fn, fl, addrs: {"firstname": fn, "float": fl,
+                                   "address": [{"street": s, "number": n} for s, n in addrs]}
+        ev = batch(
+            [
+                p("ann", 1.5, [("s1", 1), ("s2", 2)]),
+                p("bob", 2.5, [("t1", 1), ("t2", 2)]),
+                # re-upsert both keys with different addresses
+                p("ann2", 1.5, [("s3", 3), ("s4", 4)]),
+                p("bob2", 2.5, [("t3", 3), ("t4", 4)]),
+            ],
+            [k1, k2, k1, k2],
+            [1, 2, 3, 4],
+            value_type=self.PERSON,
+            key_type=self.PKEY,
+            topic="atopic",
+        )
+        out = merged(plan, self.CFG, ev)
+        root = out["atopic_person"]
+        child = out["atopic_person_address"]
+        assert len(root) == 2
+        assert sorted(r["firstname"] for r in root) == ["ann2", "bob2"]
+        assert len(child) == 4
+        assert sorted(r["person_address_address_street"] for r in child) == [
+            "s3", "s4", "t3", "t4",
+        ]
+        # propagated value-pk appears in child rows
+        assert {r["person_float"] for r in child} == {1.5, 2.5}
+
+
 class TestSalesRecordKeyPk:
     """pk.mode=record_key with flatten (JdbcSinkTaskTestPostgresArray.java
     :1877-2010): key fields become simply-named PK columns everywhere."""
