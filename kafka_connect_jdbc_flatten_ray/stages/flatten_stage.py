@@ -25,6 +25,7 @@ from collections import OrderedDict
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from kafka_connect_jdbc_flatten_ray.config import SinkConfig
 from kafka_connect_jdbc_flatten_ray.stages.kernel import flatten_event_batch
@@ -125,14 +126,17 @@ class FlattenStage:
         # ST1: LRU plan cache keyed by schema fingerprint
         self._plans: OrderedDict[str, FlattenPlan] = OrderedDict()
 
-    def _plan_for(self, batch: pa.Table) -> FlattenPlan:
+    def _plan_for(self, batch: pa.Table, topic: str | None = None) -> FlattenPlan:
         vt = batch.schema.field("value").type
         kt = batch.schema.field("key").type if "key" in batch.column_names else None
-        fp = schema_fingerprint(vt, kt, self.value_schema_name, self.key_schema_name)
+        topic = topic or self.topic
+        fp = topic + "#" + schema_fingerprint(
+            vt, kt, self.value_schema_name, self.key_schema_name
+        )
         plan = self._plans.get(fp)
         if plan is None:
             plan = build_plan(
-                self.cfg, self.topic, vt, self.value_schema_name, kt, self.key_schema_name
+                self.cfg, topic, vt, self.value_schema_name, kt, self.key_schema_name
             )
             self._plans[fp] = plan
             while len(self._plans) > self.cfg.instruction_cache_size:
@@ -142,9 +146,31 @@ class FlattenStage:
         return plan
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # multi-topic streams (one connector, many topics — the reference's
+        # `topics` config): table names derive from each record's topic, so
+        # a mixed batch splits per topic (rare path; single-topic is the
+        # zero-extra-work common case)
+        tcol = batch.column("topic")
+        if batch.num_rows:
+            topics = pc.unique(
+                tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray) else tcol
+            ).to_pylist()
+        else:
+            topics = [self.topic]
+        if len(topics) > 1:
+            parts = [
+                self._flatten_one(
+                    batch.filter(pc.equal(batch.column("topic"), t)), t
+                )
+                for t in sorted(topics)
+            ]
+            return pa.concat_tables(parts)
+        return self._flatten_one(batch, topics[0] if topics else self.topic)
+
+    def _flatten_one(self, batch: pa.Table, topic: str) -> pa.Table:
         from kafka_connect_jdbc_flatten_ray.stages.merge import local_prereduce
 
-        plan = self._plan_for(batch)
+        plan = self._plan_for(batch, topic)
         tables, buckets, rows, payloads = [], [], [], []
         out = flatten_event_batch(plan, self.cfg, batch)
         nb = self.cfg.num_buckets

@@ -296,6 +296,11 @@ def build_plan(
     (FlattenTransformation.java:135-329); cached per schema fingerprint by
     the FlattenStage actor (ST1).
     """
+    if not _is_struct(value_type):
+        raise ValueError(
+            f"flatten requires a STRUCT value schema, got {value_type} "
+            "(the reference likewise only flattens struct-valued records)"
+        )
     root_name = container_pathname(value_schema_name)
     leaves: list[Leaf] = []
     _walk(cfg, root_name, "", value_type, False, 0, [], leaves)

@@ -68,6 +68,46 @@ class TestNullArrayItem:
         assert child[1]["kafkaoffset"] == 42
 
 
+class TestMultiTopic:
+    def test_mixed_topic_batch_routes_per_topic(self):
+        from kafka_connect_jdbc_flatten_ray.stages.flatten_stage import (
+            FlattenStage,
+            deserialize_ipc,
+        )
+
+        cfg = SinkConfig(pk_mode="none", insert_mode="insert", delete_enabled=False)
+        t = pa.struct([pa.field("v", pa.string())])
+        b = pa.table(
+            {
+                "topic": pa.array(["alpha", "beta", "alpha"]),
+                "partition": pa.array([0] * 3, pa.int32()),
+                "offset": pa.array([0, 1, 2], pa.int64()),
+                "timestamp": pa.array([0] * 3, pa.timestamp("ms")),
+                "timestamp_type": pa.array(["CreateTime"] * 3),
+                "value": pa.array([{"v": "a1"}, {"v": "b1"}, {"v": "a2"}], t),
+            }
+        )
+        st = FlattenStage(cfg, "alpha", "com.example.Person")
+        env = st(b)
+        rows_by_table: dict[str, list] = {}
+        for r in env.to_pylist():
+            tbl = deserialize_ipc(r["payload"])
+            rows_by_table.setdefault(r["table"], []).extend(tbl.to_pylist())
+        assert set(rows_by_table) == {"alpha_person", "beta_person"}
+        assert sorted(x["v"] for x in rows_by_table["alpha_person"]) == ["a1", "a2"]
+        assert [x["v"] for x in rows_by_table["beta_person"]] == ["b1"]
+
+
+class TestNonStructValueRejected:
+    def test_clear_error(self):
+        from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan as bp
+        import pytest as _pytest
+
+        cfg = SinkConfig(pk_mode="none", insert_mode="insert", delete_enabled=False)
+        with _pytest.raises(ValueError, match="STRUCT value schema"):
+            bp(cfg, "t", pa.string(), None)
+
+
 class TestNestedWhitelist:
     def test_nested_path_whitelist(self):
         # JdbcSinkTaskTestPostgresArray.java:897-994 — whitelist
