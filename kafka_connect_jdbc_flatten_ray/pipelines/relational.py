@@ -197,11 +197,16 @@ GROUP BY o_orderpriority
 
 
 def distinct_langs(sf_dir: str):
-    vals = sorted(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]).unique(
-            "lang"
-        )
+    # distinct via per-batch dedup + tiny driver merge (Dataset.unique's
+    # aggregation path is flaky on sparse blocks in ray 2.49)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    partial = ds.map_batches(
+        lambda t: pa.table({"lang": pc.unique(t.column("lang").combine_chunks())})
+        if isinstance(t.column("lang"), pa.ChunkedArray)
+        else pa.table({"lang": pc.unique(t.column("lang"))}),
+        batch_format="pyarrow",
     )
+    vals = sorted({r["lang"] for r in partial.take_all()})
     return pd.DataFrame({"lang": vals})
 
 

@@ -294,10 +294,12 @@ def dedup_minhash_keep(
     of a near-duplicate pair (star edges point at the bucket minimum, so
     clusters collapse onto their smallest doc_id)."""
     pairs = dedup_minhash_pairs(docs, threshold, shingles)
-    drop = pairs.map_batches(
-        lambda t: pa.table({"doc_id": t.column("doc_b")}), batch_format="pyarrow"
-    ).unique("doc_id")
-    drop_set = set(drop)  # near-dup loser ids: small relative to corpus
+    # collect loser ids on the driver (small relative to corpus); avoids
+    # Dataset.unique(), whose merge path chokes on sparse/empty blocks
+    drop_set = {
+        r["doc_b"]
+        for r in pairs.select_columns(["doc_b"]).take_all()
+    }
 
     def _filter(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
