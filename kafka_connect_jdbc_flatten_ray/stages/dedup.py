@@ -34,16 +34,30 @@ def _text_col(batch: pa.Table) -> pa.Array:
     return t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
 
 
+def _string_hashes(flat: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Stable 64-bit hash per string, vectorized: dictionary-encode (C++
+    hash table), pandas-hash only the UNIQUE values, gather by index.
+    Identical values to hashing the full array (pandas hashes elementwise)
+    at a fraction of the object-conversion cost for natural-vocabulary
+    token streams."""
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    hd = pd.util.hash_pandas_object(
+        pd.Series(d.dictionary.to_numpy(zero_copy_only=False)), index=False
+    ).to_numpy().astype(U64)
+    if len(hd) == 0:
+        return np.empty(0, U64)
+    return hd[d.indices.to_numpy(zero_copy_only=False)]
+
+
 def _token_hashes(text: pa.Array):
     """(flat token hashes uint64, parent doc idx, tokens-per-doc)."""
     toks = pc.split_pattern(text, " ")
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     parent = np.repeat(np.arange(len(text), dtype=np.int64), lens)
     flat = pc.list_flatten(toks)
-    h = pd.util.hash_pandas_object(
-        pd.Series(flat.to_numpy(zero_copy_only=False)), index=False
-    ).to_numpy()
-    return h.astype(U64), parent, lens
+    return _string_hashes(flat), parent, lens
 
 
 def _char_ngram_hashes(text: pa.Array, n: int = 5):

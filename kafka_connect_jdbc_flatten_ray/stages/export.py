@@ -73,9 +73,9 @@ class _TokenizeStage:
         toks = pc.split_pattern(text, " ")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(toks)
-        ids = pd.util.hash_pandas_object(
-            pd.Series(flat.to_numpy(zero_copy_only=False)), index=False
-        ).to_numpy().view(np.int64)
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import _string_hashes
+
+        ids = _string_hashes(flat).view(np.int64)
         ids = np.abs(ids) % np.int64(50_000) + 1  # 1..50000; 0 = PAD
         offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
         tok_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(ids))

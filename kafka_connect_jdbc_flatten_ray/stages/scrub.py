@@ -59,69 +59,85 @@ class ChunkDocs:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         n_chunks = np.maximum(1, -(-np.maximum(lens - self.size, 0) // self.stride) + 1)
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        toks_py = toks.to_pylist()
-        out_doc, out_idx, out_text, out_n = [], [], [], []
-        for i in range(batch.num_rows):
-            words = toks_py[i]
-            for c in range(int(n_chunks[i])):
-                start = c * self.stride
-                chunk = words[start:start + self.size]
-                out_doc.append(doc_id[i])
-                out_idx.append(c)
-                out_text.append(" ".join(chunk))
-                out_n.append(len(chunk))
+        # chunk-level index arithmetic (one row per chunk)
+        total = int(n_chunks.sum())
+        doc_rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_chunks)
+        chunk_base = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(total, dtype=np.int64) - chunk_base[doc_rep]
+        tok_start_in_doc = chunk_idx * self.stride
+        chunk_len = np.minimum(self.size, lens[doc_rep] - tok_start_in_doc)
+        # slot-level gather from the flat token array (one row per chunk token)
+        doc_tok_off = np.concatenate(([0], np.cumsum(lens)))
+        tok_start_global = doc_tok_off[doc_rep] + tok_start_in_doc
+        slot_total = int(chunk_len.sum())
+        chunk_off = np.concatenate(([0], np.cumsum(chunk_len)))
+        chunk_rep = np.repeat(np.arange(total, dtype=np.int64), chunk_len)
+        idx_in_chunk = np.arange(slot_total, dtype=np.int64) - chunk_off[chunk_rep]
+        gather = tok_start_global[chunk_rep] + idx_in_chunk
+        flat_tokens = pc.list_flatten(toks)
+        sel = pc.take(flat_tokens, pa.array(gather, pa.int64()))
+        if isinstance(sel, pa.ChunkedArray):
+            sel = sel.combine_chunks()
+        chunk_lists = pa.LargeListArray.from_arrays(
+            pa.array(chunk_off, pa.int64()), pc.cast(sel, pa.large_string())
+        )
+        joined = pc.binary_join(chunk_lists, pa.scalar(" ", pa.large_string()))
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "chunk_idx": pa.array(out_idx, pa.int64()),
-                "chunk": pa.array(out_text, pa.string()),
-                "n_chunk_tokens": pa.array(out_n, pa.int64()),
+                "doc_id": pa.array(doc_id[doc_rep]),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "chunk": pc.cast(joined, pa.string()),
+                "n_chunk_tokens": pa.array(chunk_len, pa.int64()),
             }
         )
 
 
-def _stable_hash(words: list[str]) -> int:
-    """Process-independent n-gram hash (python's hash() is seed-randomized
-    per process, which would break the cross-worker broadcast set)."""
-    import hashlib
+def _ngram_hash_array(texts, n: int = 8) -> np.ndarray:
+    """Sorted unique rolling word-n-gram hashes of the given texts, using
+    the same vectorized rolling hash the dedup family uses (process-stable
+    pandas token hashing + polynomial combine — python's hash() is
+    seed-randomized per process, which would break the broadcast array)."""
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import _shingle_hashes_words
 
-    return int.from_bytes(
-        hashlib.blake2b(" ".join(words).encode(), digest_size=8).digest(), "little"
-    )
-
-
-def _ngram_hashes_of_texts(texts: list[str], n: int = 8) -> set[int]:
-    out: set[int] = set()
-    for t in texts:
-        words = t.split(" ")
-        for i in range(max(0, len(words) - n + 1)):
-            out.add(_stable_hash(words[i:i + n]))
-    return out
+    arr = texts if isinstance(texts, pa.Array) else pa.array(list(texts), pa.string())
+    if len(arr) == 0:
+        return np.empty(0, np.uint64)
+    h, _ = _shingle_hashes_words(arr, k=n)
+    return np.unique(h)
 
 
 class ContaminationCheck:
-    """Flag docs sharing any word n-gram with a benchmark set (broadcast
-    once via ray.put; per-batch membership test over rolling n-grams)."""
+    """Flag docs sharing any word n-gram with a benchmark set: the sorted
+    benchmark hash array is broadcast once via ray.put; each batch computes
+    its rolling n-gram hashes vectorized and membership-tests them with
+    searchsorted — no per-row Python."""
 
     def __init__(self, benchmark_ref, n: int = 8):
         self.bench = (
-            ray.get(benchmark_ref) if not isinstance(benchmark_ref, set) else benchmark_ref
+            ray.get(benchmark_ref)
+            if not isinstance(benchmark_ref, np.ndarray)
+            else benchmark_ref
         )
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import _shingle_hashes_words
+
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         hits = np.zeros(batch.num_rows, np.int64)
-        for i, t in enumerate(text.to_pylist()):
-            words = t.split(" ")
-            for j in range(max(0, len(words) - self.n + 1)):
-                if _stable_hash(words[j:j + self.n]) in self.bench:
-                    hits[i] += 1
+        if len(self.bench):
+            h, parent = _shingle_hashes_words(text, k=self.n)
+            idx = np.searchsorted(self.bench, h)
+            idx[idx >= len(self.bench)] = 0
+            hit = self.bench[idx] == h
+            np.add.at(hits, parent[hit], 1)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -134,7 +150,7 @@ class ContaminationCheck:
 def contamination_check(
     docs: ray.data.Dataset, benchmark_texts: list[str], n: int = 8
 ) -> ray.data.Dataset:
-    ref = ray.put(_ngram_hashes_of_texts(benchmark_texts, n))
+    ref = ray.put(_ngram_hash_array(benchmark_texts, n))
     return docs.map_batches(
         ContaminationCheck, fn_constructor_args=(ref, n),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
