@@ -265,64 +265,159 @@ def dedup_ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5):
 
 
 def dedup_minhash_clusters(
-    docs: ray.data.Dataset, threshold: float = 0.9, shingles: str = "word"
+    docs: ray.data.Dataset,
+    threshold: float = 0.9,
+    shingles: str = "word",
+    max_iters: int = 50,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Near-duplicate cluster assignment: (doc_id, cluster_id) where
     cluster_id = min doc_id of the connected component over LSH candidate
-    pairs. The candidate-pair set is tiny relative to the corpus (star
-    edges, near-dup rate), so components are solved with union-find on the
-    driver and the doc->cluster mapping is broadcast back into a vectorized
-    labeling pass — the documented pattern for provably-small pair sets."""
-    pairs = dedup_minhash_pairs(docs, threshold, shingles).take_all()
-    parent: dict[int, int] = {}
+    pairs — fully DISTRIBUTED via iterative min-label propagation:
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        L0(v)   = min(v, neighbors(v))            (groupby min)
+        Lk+1(v) = min(Lk(v), min_{u~v} Lk(u))     (join edges->labels,
+                                                   groupby min)
 
-    for p in pairs:
-        a, b = find(int(p["doc_a"])), find(int(p["doc_b"]))
-        if a != b:
-            lo, hi = min(a, b), max(a, b)
-            parent[hi] = lo
-    mapping = {d: find(d) for d in list(parent)}
-    import ray as _ray
+    converging in O(component diameter) rounds (star-pattern LSH edges
+    give near-dup clusters tiny diameters). The only driver value per
+    round is the scalar sum of labels (monotone non-increasing; fixpoint
+    when unchanged). Docs never touch the driver: the final labeling is a
+    hash left-outer join of doc_ids against the converged labels with
+    coalesce(label, doc_id)."""
+    pairs = dedup_minhash_pairs(docs, threshold, shingles).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    labels = connected_component_labels(pairs, max_iters, num_partitions)
+    ids = docs.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table({"node": t.column("doc_id"), "lab": t.column("doc_id")}),
+        batch_format="pyarrow",
+    )
+    if labels is None:  # no candidate pairs at all
+        merged = ids
+    else:
+        # component labels are <= their node id, so a union + groupby-min is
+        # exactly coalesce(label, doc_id) — and unlike a hash join it
+        # tolerates the zero-schema empty blocks ray 2.49 aggregates emit
+        merged = ids.union(labels)
+    return (
+        merged.groupby("node")
+        .min("lab")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+            batch_format="pyarrow",
+        )
+    )
 
-    mref = _ray.put(mapping)
 
-    def _label(t: pa.Table) -> pa.Table:
-        m = _ray.get(mref)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        lab = np.array([m.get(int(i), int(i)) for i in ids], np.int64)
-        return pa.table({"doc_id": t.column("doc_id"), "cluster_id": pa.array(lab)})
+def connected_component_labels(
+    pairs: ray.data.Dataset, max_iters: int = 50, num_partitions: int = 16
+) -> ray.data.Dataset | None:
+    """Distributed connected components over an edge Dataset (doc_a, doc_b):
+    returns (node, lab) with lab = component minimum, or None when the edge
+    set is empty. Min-label propagation as described in
+    dedup_minhash_clusters."""
 
-    return docs.map_batches(_label, batch_format="pyarrow", zero_copy_batch=True)
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(_both_dirs, batch_format="pyarrow").materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "lab": pc.min_element_wise(t.column("node"), t.column("nbr")),
+            }
+        )
+
+    def _as_labels(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node", "lab"])
+
+    labels = (
+        edges.map_batches(_init, batch_format="pyarrow")
+        .groupby("node")
+        .min("lab")
+        .map_batches(_as_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("lab")
+    if prev_sum is None:  # empty edge set
+        return None
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("nbr"), "lab": t.column("lab")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .min("lab")
+            .map_batches(_as_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        # labels are elementwise non-increasing, so an unchanged sum is a
+        # fixpoint (sums compared exactly; a mod-2^64 collision would need
+        # a >= 2^64 total decrease in one round)
+        cur_sum = labels.sum("lab")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 def dedup_minhash_keep(
-    docs: ray.data.Dataset, threshold: float = 0.9, shingles: str = "word"
+    docs: ray.data.Dataset,
+    threshold: float = 0.9,
+    shingles: str = "word",
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Approximate-dedup keep set: drop every doc that is the higher-id side
     of a near-duplicate pair (star edges point at the bucket minimum, so
-    clusters collapse onto their smallest doc_id)."""
+    clusters collapse onto their smallest doc_id). The loser set is removed
+    with a distributed anti-join expressed as union + groupby-max over a
+    loser flag — no driver-side materialization at any pair-set size, and
+    robust to the zero-schema empty blocks ray 2.49 aggregates emit (which
+    crash the native hash-join aggregator)."""
     pairs = dedup_minhash_pairs(docs, threshold, shingles)
-    # collect loser ids on the driver (small relative to corpus); avoids
-    # Dataset.unique(), whose merge path chokes on sparse/empty blocks
-    drop_set = {
-        r["doc_b"]
-        for r in pairs.select_columns(["doc_b"]).take_all()
-    }
-
-    def _filter(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        import numpy as _np
-
-        keep = ~_np.isin(ids, list(drop_set))
-        return pa.table({"doc_id": t.column("doc_id").filter(pa.array(keep))})
-
-    return docs.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+    losers = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_b"),
+                "loser": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ids = docs.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "loser": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    merged = ids.union(losers).groupby("doc_id").max("loser")
+    return merged.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(
+                    pc.equal(t.column("max(loser)"), 0)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,54 @@ class TestMinhashKeep:
         got = {r["doc_id"]: r["cluster_id"]
                for r in dedup.dedup_minhash_clusters(docs, 0.9).take_all()}
         assert got == {0: 0, 1: 0, 2: 2, 3: 0}
+
+
+class TestConnectedComponents:
+    def test_chain_converges_multiround(self, ray_session):
+        """A 5-node path graph needs several propagation rounds — exercises
+        the iterative join/groupby fixpoint, not just the init step."""
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+            connected_component_labels,
+        )
+
+        pairs = ray.data.from_arrow(
+            pa.table({"doc_a": [10, 11, 12, 13, 50], "doc_b": [11, 12, 13, 14, 51]})
+        )
+        labels = connected_component_labels(pairs, num_partitions=4)
+        got = {r["node"]: r["lab"] for r in labels.take_all()}
+        assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 50: 50, 51: 50}
+
+    def test_empty_pairs(self, ray_session):
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+            connected_component_labels,
+        )
+
+        pairs = ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        )
+        assert connected_component_labels(pairs) is None
+
+    def test_no_driver_materialization(self, ray_session, monkeypatch):
+        """Clusters and keep-set must never collect data-dependent row sets
+        on the driver: Dataset.take_all / take / to_pandas are poisoned for
+        the duration of the computation (the driver sees only scalar
+        convergence sums)."""
+        from kafka_connect_jdbc_flatten_ray.stages import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [base, base, "unrelated words entirely different content here", base]
+        docs = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+
+        def _boom(self, *a, **k):
+            raise AssertionError("driver-side materialization inside dedup op")
+
+        # (Dataset.sum legitimately take(1)s its single aggregate row, so
+        # only row-set collection APIs are poisoned)
+        monkeypatch.setattr(ray.data.Dataset, "take_all", _boom)
+        monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+        clusters = dedup.dedup_minhash_clusters(docs, 0.9).materialize()
+        kept = dedup.dedup_minhash_keep(docs, 0.95).materialize()
+        monkeypatch.undo()
+        got = {r["doc_id"]: r["cluster_id"] for r in clusters.take_all()}
+        assert got == {0: 0, 1: 0, 2: 2, 3: 0}
+        assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 2]
