@@ -49,20 +49,31 @@ class SinkConfig:
     # --- sink surface ---
     pk_mode: str = "flatten"  # none | kafka | record_key | record_value | flatten
     pk_fields: tuple[str, ...] = ()
-    insert_mode: str = "upsert"  # insert | upsert
+    insert_mode: str = "upsert"  # insert | upsert | update
     delete_enabled: bool = True
     batch_size: int = 3000  # reference JDBC batch; informational here
+    # value-field projection for the legacy sink (JdbcSinkConfig.java:188-196,
+    # FieldsMetadata.java:144): empty = all value fields; pk fields always kept
+    fields_whitelist: tuple[str, ...] = ()
+    # timestamp rendering zone (JdbcSinkConfig.java:218-220 DB_TIMEZONE_CONFIG):
+    # coordinate/logical timestamps are written as wall-clock in this zone
+    db_timezone: str = "UTC"
 
     # --- Ray engine knobs (replace JDBC connection config) ---
     num_buckets: int = 32  # hash buckets per table for the merge shuffle
 
     def __post_init__(self) -> None:
-        if self.insert_mode not in ("insert", "upsert"):
-            raise ValueError(f"insert_mode must be insert|upsert, got {self.insert_mode}")
+        if self.insert_mode not in ("insert", "upsert", "update"):
+            raise ValueError(
+                f"insert_mode must be insert|upsert|update, got {self.insert_mode}"
+            )
         if self.pk_mode not in ("none", "kafka", "record_key", "record_value", "flatten"):
             raise ValueError(f"unknown pk_mode {self.pk_mode}")
         if self.flatten and self.insert_mode not in ("insert", "upsert"):
-            raise ValueError("flatten requires insert_mode insert or upsert")
+            # JdbcSinkConfig.java:746-749
+            raise ValueError("Flatten only supports insert modes upsert and insert")
+        if self.insert_mode == "update" and self.pk_mode == "none":
+            raise ValueError("insert_mode=update requires a primary key mode")
         if self.delete_enabled and self.pk_mode not in ("record_key", "flatten"):
             raise ValueError("delete_enabled requires pk_mode record_key or flatten")
         if len(self.coordinate_names) != 5:
@@ -88,3 +99,7 @@ class SinkConfig:
     @property
     def whitelist_lc(self) -> tuple[str, ...]:
         return tuple(w.strip().lower() for w in self.whitelist if w.strip())
+
+    @property
+    def fields_whitelist_lc(self) -> tuple[str, ...]:
+        return tuple(f.strip().lower() for f in self.fields_whitelist if f.strip())

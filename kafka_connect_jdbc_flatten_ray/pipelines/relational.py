@@ -288,6 +288,93 @@ FROM v
 """
 
 
+def passthrough_upsert_delete(sf_dir: str) -> ray.data.Dataset:
+    """flatten=false + upsert + delete.enabled: tombstones (null value, last
+    op for doc_id % 7 == 0) delete their key's row
+    (BufferedRecords.java:92-101 delete-on-null analogue)."""
+    cfg = SinkConfig(
+        flatten=False, pk_mode="record_key", pk_fields=("repo", "path"),
+        insert_mode="upsert", delete_enabled=True,
+    )
+    events = ingest.event_stream(sf_dir, include_tombstones=True)
+    flat = events.map_batches(_project_flat_value, batch_format="pyarrow", zero_copy_batch=True)
+    return passthrough_table(flat, cfg)
+
+
+ORACLE_PASSTHROUGH_UPSERT_DELETE = ORACLE_PASSTHROUGH_UPSERT + " WHERE doc_id % 7 <> 0"
+
+
+def passthrough_fields_whitelist(sf_dir: str) -> ray.data.Dataset:
+    """fields.whitelist projection (JdbcSinkConfig.java:188-196): only the
+    'version' value field survives; the record-key PK columns always do."""
+    cfg = SinkConfig(
+        flatten=False, pk_mode="record_key", pk_fields=("repo", "path"),
+        insert_mode="upsert", delete_enabled=False,
+        fields_whitelist=("version",),
+    )
+    events = ingest.event_stream(sf_dir, include_tombstones=False)
+    flat = events.map_batches(_project_flat_value, batch_format="pyarrow", zero_copy_batch=True)
+    return passthrough_table(flat, cfg)
+
+
+ORACLE_PASSTHROUGH_FIELDS_WHITELIST = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS maxv,
+         'repo_' || (doc_id % 20) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path
+  FROM documents
+)
+SELECT repo, path, CAST(maxv AS INTEGER) AS version FROM d
+"""
+
+
+def passthrough_update(sf_dir: str) -> ray.data.Dataset:
+    """insert.mode=update (JdbcSinkConfig.java:48-51): only keys already in
+    the target table are modified. The initial table holds version-0 rows
+    for EVEN doc_ids only; the full event stream then updates those keys to
+    their max version, while events for odd doc_ids match no row and are
+    dropped."""
+    import pyarrow as _pa
+
+    cfg = SinkConfig(
+        flatten=False, pk_mode="record_key", pk_fields=("repo", "path"),
+        insert_mode="update", delete_enabled=False,
+    )
+    events = ingest.event_stream(sf_dir, include_tombstones=False)
+    flat_events = events.map_batches(
+        _project_flat_value, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _initial_rows(b: pa.Table) -> pa.Table:
+        # version-0 events (offset % 4 == 0) of even docs -> plain columns
+        off = b.column("offset").to_numpy(zero_copy_only=False)
+        doc = off // 4
+        sel = b.filter(pa.array((off % 4 == 0) & (doc % 2 == 0)))
+        v = sel.column("value")
+        if isinstance(v, _pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pa.table({f: pc.struct_field(v, f) for f in _FLAT_FIELDS})
+
+    initial = events.map_batches(_initial_rows, batch_format="pyarrow")
+    return passthrough_table(flat_events, cfg, initial=initial)
+
+
+ORACLE_PASSTHROUGH_UPDATE = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars, doc_id % 3 AS maxv,
+         'repo_' || (doc_id % 20) AS repo,
+         'src/doc_' || doc_id || '.txt' AS path
+  FROM documents
+)
+SELECT repo, path,
+       'c' || ((doc_id * 2654435761 + maxv) % 1000000007) AS commit_id,
+       lang AS lang,
+       CAST(maxv AS INTEGER) AS version,
+       CAST(n_chars + maxv AS BIGINT) AS "size"
+FROM d WHERE doc_id % 2 = 0
+"""
+
+
 def relational_queries() -> dict:
     return {
         "events_by_type": events_by_type,
@@ -298,6 +385,9 @@ def relational_queries() -> dict:
         "lineitem_order_priority": lineitem_order_priority,
         "passthrough_upsert": passthrough_upsert,
         "passthrough_insert": passthrough_insert,
+        "passthrough_upsert_delete": passthrough_upsert_delete,
+        "passthrough_fields_whitelist": passthrough_fields_whitelist,
+        "passthrough_update": passthrough_update,
     }
 
 
@@ -311,4 +401,7 @@ def relational_oracles() -> dict:
         "lineitem_order_priority": ORACLE_LINEITEM_ORDER_PRIORITY,
         "passthrough_upsert": ORACLE_PASSTHROUGH_UPSERT,
         "passthrough_insert": ORACLE_PASSTHROUGH_INSERT,
+        "passthrough_upsert_delete": ORACLE_PASSTHROUGH_UPSERT_DELETE,
+        "passthrough_fields_whitelist": ORACLE_PASSTHROUGH_FIELDS_WHITELIST,
+        "passthrough_update": ORACLE_PASSTHROUGH_UPDATE,
     }

@@ -92,3 +92,126 @@ class TestPassthroughPkModes:
                          insert_mode="insert", delete_enabled=False)
         with pytest.raises(Exception):
             passthrough_table(ray.data.from_arrow(t), cfg).take_all()
+
+
+class TestUpdateModeAndValidation:
+    """insert.mode=update, fields.whitelist, tombstone/validator semantics
+    (JdbcSinkConfig.java:48-51,188-196; RecordValidator.java:45-112)."""
+
+    def _events_with_tombstone(self):
+        vt = pa.struct([pa.field("id", pa.int64()), pa.field("name", pa.string())])
+        kt = pa.struct([pa.field("id", pa.int64())])
+        return pa.table(
+            {
+                "topic": pa.array(["t"] * 3),
+                "partition": pa.array([0, 0, 0], pa.int32()),
+                "offset": pa.array([0, 1, 2], pa.int64()),
+                "timestamp": pa.array([0] * 3, pa.timestamp("ms")),
+                "timestamp_type": pa.array(["CreateTime"] * 3),
+                "key": pa.array([{"id": 1}, {"id": 2}, {"id": 1}], kt),
+                "value": pa.array(
+                    [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}, None], vt
+                ),
+            }
+        )
+
+    def test_update_rejected_with_flatten(self):
+        with pytest.raises(ValueError, match="Flatten only supports"):
+            SinkConfig(flatten=True, insert_mode="update")
+
+    def test_update_requires_pk(self):
+        with pytest.raises(ValueError, match="requires a primary key"):
+            SinkConfig(flatten=False, pk_mode="none", insert_mode="update",
+                       delete_enabled=False)
+
+    def test_tombstone_deletes_key(self, ray_session):
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
+
+        cfg = SinkConfig(flatten=False, pk_mode="record_key", pk_fields=("id",),
+                         insert_mode="upsert", delete_enabled=True)
+        out = passthrough_table(
+            ray.data.from_arrow(self._events_with_tombstone()), cfg
+        ).take_all()
+        assert {r["id"] for r in out} == {2}
+
+    def test_tombstone_skipped_when_delete_disabled(self, ray_session):
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
+
+        cfg = SinkConfig(flatten=False, pk_mode="record_key", pk_fields=("id",),
+                         insert_mode="upsert", delete_enabled=False)
+        out = passthrough_table(
+            ray.data.from_arrow(self._events_with_tombstone()), cfg
+        ).take_all()
+        assert {r["id"]: r["name"] for r in out} == {1: "a", 2: "b"}
+
+    def test_tombstone_rejected_record_value_mode(self, ray_session):
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
+
+        cfg = SinkConfig(flatten=False, pk_mode="record_value", pk_fields=("id",),
+                         insert_mode="upsert", delete_enabled=False)
+        with pytest.raises(Exception, match="non-null Struct value"):
+            passthrough_table(
+                ray.data.from_arrow(self._events_with_tombstone()), cfg
+            ).take_all()
+
+    def test_fields_whitelist_projects(self, ray_session):
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
+
+        cfg = SinkConfig(flatten=False, pk_mode="record_key", pk_fields=("id",),
+                         insert_mode="upsert", delete_enabled=False,
+                         fields_whitelist=("name",))
+        ev = self._events_with_tombstone()
+        out = passthrough_table(ray.data.from_arrow(ev), cfg).take_all()
+        assert set(out[0].keys()) == {"id", "name"}
+
+    def test_update_only_touches_existing_keys(self, ray_session):
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
+
+        vt = pa.struct([pa.field("id", pa.int64()), pa.field("name", pa.string())])
+        kt = pa.struct([pa.field("id", pa.int64())])
+        events = pa.table(
+            {
+                "topic": pa.array(["t"] * 3),
+                "partition": pa.array([0, 0, 0], pa.int32()),
+                "offset": pa.array([0, 1, 2], pa.int64()),
+                "timestamp": pa.array([0] * 3, pa.timestamp("ms")),
+                "timestamp_type": pa.array(["CreateTime"] * 3),
+                "key": pa.array([{"id": 1}, {"id": 1}, {"id": 9}], kt),
+                "value": pa.array(
+                    [{"id": 1, "name": "first"}, {"id": 1, "name": "second"},
+                     {"id": 9, "name": "ghost"}], vt),
+            }
+        )
+        initial = pa.table({"id": pa.array([1, 2], pa.int64()),
+                            "name": pa.array(["init1", "init2"])})
+        cfg = SinkConfig(flatten=False, pk_mode="record_key", pk_fields=("id",),
+                         insert_mode="update", delete_enabled=False)
+        out = passthrough_table(
+            ray.data.from_arrow(events), cfg,
+            initial=ray.data.from_arrow(initial),
+        ).take_all()
+        got = {r["id"]: r["name"] for r in out}
+        # id 1 updated to the latest event, id 2 untouched, id 9 dropped
+        assert got == {1: "second", 2: "init2"}
+
+    def test_update_requires_initial(self, ray_session):
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
+
+        cfg = SinkConfig(flatten=False, pk_mode="record_key", pk_fields=("id",),
+                         insert_mode="update", delete_enabled=False)
+        with pytest.raises(ValueError, match="initial table state"):
+            passthrough_table(
+                ray.data.from_arrow(self._events_with_tombstone()), cfg
+            )
