@@ -343,6 +343,41 @@ WHERE ts > (SELECT MIN(ts) FROM events) + INTERVAL 1 HOUR
   AND ts <= (SELECT MAX(ts) FROM events) - INTERVAL 5 MINUTE
 """
 
+def source_multi_table(sf_dir: str) -> ray.data.Dataset:
+    """Multi-table tail (JdbcSourceConnector_Flatten.java:137-170): two
+    tables with independent incrementing columns and stored offsets (their
+    midpoints), round-robined across tasks, unioned into one stream."""
+    from kafka_connect_jdbc_flatten_ray.sources.multi_tail import (
+        TableSpec,
+        tail_tables,
+    )
+    from kafka_connect_jdbc_flatten_ray.sources.queriers import _id_bounds
+
+    specs = [
+        TableSpec("events", f"{sf_dir}/events.parquet", "event_id"),
+        TableSpec("orders", f"{sf_dir}/orders.parquet", "o_orderkey"),
+    ]
+    offsets = {}
+    for spec in specs:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(spec.path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(spec.inc_col)
+        mins = [md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups)]
+        maxs = [md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups)]
+        offsets[spec.name] = (min(mins) + max(maxs)) // 2
+    return tail_tables(specs, offsets, max_tasks=2)
+
+
+ORACLE_SOURCE_MULTI_TABLE = """
+SELECT 'events' AS table_name, event_id AS inc_id FROM events
+WHERE event_id > (SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events)
+UNION ALL
+SELECT 'orders' AS table_name, o_orderkey AS inc_id FROM orders
+WHERE o_orderkey > (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 FROM orders)
+"""
+
+
 ORACLE_SOURCE_TS_INC = """
 WITH mid AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS i FROM events),
 t AS (SELECT MAX(ts) AS t FROM events WHERE event_id <= (SELECT i FROM mid))
@@ -368,6 +403,7 @@ def cdc_queries() -> dict:
         "source_incrementing": queriers.source_incrementing,
         "source_timestamp": queriers.source_timestamp,
         "source_timestamp_incrementing": queriers.source_timestamp_incrementing,
+        "source_multi_table": source_multi_table,
     }
 
 
@@ -387,4 +423,5 @@ def cdc_oracles() -> dict:
         "source_incrementing": ORACLE_SOURCE_INCREMENTING,
         "source_timestamp": ORACLE_SOURCE_TIMESTAMP,
         "source_timestamp_incrementing": ORACLE_SOURCE_TS_INC,
+        "source_multi_table": ORACLE_SOURCE_MULTI_TABLE,
     }
