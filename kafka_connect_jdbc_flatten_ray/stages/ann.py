@@ -78,12 +78,18 @@ def _global_topk(k: int):
 
 
 def load_queries(sf_dir: str, num_queries: int):
-    """Deterministic query set: the first ``num_queries`` vec_ids."""
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc_
+    """Deterministic query set: the first ``num_queries`` vec_ids.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = t.filter(pc_.less(t.column("vec_id"), num_queries))
+    The predicate is pushed into the Parquet scan (pyarrow.dataset filter
+    -> row-group stats pruning), so the driver materializes only the row
+    groups containing the query ids — never the whole table."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pds.field("vec_id") < num_queries,
+    )
     t = t.sort_by("vec_id")
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
     mat = _unit(_mat(t.column("embedding")).astype(np.float32))
@@ -127,10 +133,16 @@ class IVFAssign:
 
 
 def ivf_centroids(sf_dir: str, num_centroids: int = 16) -> np.ndarray:
-    """Deterministic coarse centroids: every (n // C)-th vector, normalized."""
+    """Deterministic coarse centroids from a BOUNDED sample: only the first
+    Parquet row group is read (never the whole table — at 100 TB the old
+    full read is a driver OOM), and every (sample // C)-th vector of it is
+    taken, normalized. Centroid quality only affects recall (probing more
+    buckets compensates); the scale path would k-means a reservoir sample
+    instead, but the read-bound contract is the same."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    t = pf.read_row_group(0, columns=["embedding"])
     m = _unit(_mat(t.column("embedding")))
     step = max(1, len(m) // num_centroids)
     return m[::step][:num_centroids]

@@ -103,3 +103,28 @@ class TestANN:
         ivs = {(r["query_id"], r["vec_id"]) for r in ivf}
         # probing all 8 of 8 buckets = exhaustive -> recall 1.0
         assert len(bfs & ivs) == len(bfs)
+
+
+class TestANNBoundedDriverReads:
+    def test_no_full_table_read_on_driver(self, ray_session, sf_dir, monkeypatch):
+        """ivf_centroids and load_queries must never read the whole
+        embeddings table on the driver: pq.read_table is poisoned; only
+        bounded row-group reads / pushed-down dataset filters are allowed."""
+        import pyarrow.parquet as pq
+
+        def _boom(*a, **k):
+            raise AssertionError("full-table driver read in ANN setup")
+
+        monkeypatch.setattr(pq, "read_table", _boom)
+        cents = ann.ivf_centroids(sf_dir, num_centroids=8)
+        ids, mat = ann.load_queries(sf_dir, 4)
+        monkeypatch.undo()
+        assert cents.shape[0] == 8 and len(ids) == 4 and mat.shape[0] == 4
+
+    def test_ivf_still_recalls_after_bounding(self, ray_session, sf_dir):
+        bf = ann.ann_topk(sf_dir, k=3, num_queries=4).take_all()
+        ivf = ann.ann_topk_ivf(sf_dir, k=3, num_queries=4, nprobe=8,
+                               num_centroids=8).take_all()
+        bfs = {(r["query_id"], r["vec_id"]) for r in bf}
+        ivs = {(r["query_id"], r["vec_id"]) for r in ivf}
+        assert len(bfs & ivs) == len(bfs)  # nprobe == all buckets -> recall 1
