@@ -239,6 +239,21 @@ SELECT
 """ + _COORDS.format(v="maxv") + "FROM d WHERE doc_id % 7 <> 0"
 
 
+def cdc_root_upsert_tz(sf_dir: str) -> ray.data.Dataset:
+    """db.timezone variant (JdbcSinkConfig.java:218-220): the kafkatimestamp
+    coordinate is rendered as wall-clock in a +02:00 zone — the
+    DateTimeUtils calendar-binding analogue."""
+    cfg = ingest.default_config(db_timezone="+02:00")
+    plan = ingest.default_plan(cfg)
+    env = ingest.flatten_envelopes(ingest.event_stream(sf_dir), cfg)
+    return ingest.table_state(env, plan, "cdc_filechange")
+
+
+ORACLE_ROOT_UPSERT_TZ = ORACLE_ROOT_UPSERT.replace(
+    "AS kafkatimestamp,", "+ INTERVAL 2 HOUR AS kafkatimestamp,"
+)
+
+
 def cdc_lines_per_lang(sf_dir: str) -> ray.data.Dataset:
     """The reference's motivating downstream use (README.md:32-34): users
     JOIN flattened child tables back to parents via the propagated PKs.
@@ -398,6 +413,7 @@ def cdc_queries() -> dict:
         "cdc_renamed_whitelist": cdc_renamed_whitelist,
         "cdc_root_upsert_uppercase": cdc_root_upsert_uppercase,
         "cdc_root_upsert_evolved": cdc_root_upsert_evolved,
+        "cdc_root_upsert_tz": cdc_root_upsert_tz,
         "cdc_lines_per_lang": cdc_lines_per_lang,
         "source_bulk": queriers.source_bulk,
         "source_incrementing": queriers.source_incrementing,
@@ -418,6 +434,7 @@ def cdc_oracles() -> dict:
         "cdc_renamed_whitelist": ORACLE_RENAMED_WHITELIST,
         "cdc_root_upsert_uppercase": ORACLE_ROOT_UPSERT_UPPERCASE,
         "cdc_root_upsert_evolved": ORACLE_ROOT_UPSERT_EVOLVED,
+        "cdc_root_upsert_tz": ORACLE_ROOT_UPSERT_TZ,
         "cdc_lines_per_lang": ORACLE_LINES_PER_LANG,
         "source_bulk": ORACLE_SOURCE_BULK,
         "source_incrementing": ORACLE_SOURCE_INCREMENTING,

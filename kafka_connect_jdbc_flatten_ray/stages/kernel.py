@@ -117,11 +117,31 @@ def _coord_value(coord: str, batch_cols: dict[str, pa.Array]) -> pa.Array:
     return batch_cols[coord]
 
 
+def to_wallclock(arr: pa.Array, zone: str) -> pa.Array:
+    """Render a naive epoch-UTC timestamp array as wall-clock in ``zone`` —
+    the db.timezone calendar-binding analogue (util/DateTimeUtils.java,
+    JdbcSinkConfig.java:218-220). Accepts fixed offsets ('+02:00', pure
+    arithmetic) and tz-database names ('Europe/Oslo', DST-correct);
+    naive in, naive out."""
+    import re
+
+    m = re.fullmatch(r"([+-])(\d{2}):(\d{2})", zone)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        seconds = sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60)
+        scale = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+        unit = arr.type.unit
+        return pc.add(arr, pa.scalar(seconds * scale[unit], pa.duration(unit)))
+    aware = pc.assume_timezone(arr, "UTC")
+    return pc.local_timestamp(pc.cast(aware, pa.timestamp(arr.type.unit, tz=zone)))
+
+
 def _data_rows(
     tp: TablePlan,
     value: pa.Array,
     batch_cols: dict[str, pa.Array],
     key_arrs: dict[str, pa.Array],
+    tz: str = "UTC",
 ) -> pa.Table:
     items, pidx, caps = _explode(tp, value)
     n = len(items)
@@ -132,6 +152,10 @@ def _data_rows(
                 v = items
             else:
                 v = pc.struct_field(items, list(spec.item_steps))
+            # logical timestamp leaves are bound in db.timezone too
+            # (GenericDatabaseDialect.java:84,142 DateTimeUtils usage)
+            if tz and tz != "UTC" and pa.types.is_timestamp(v.type) and v.type.tz is None:
+                v = to_wallclock(v, tz)
         elif spec.kind == "capture":
             v = caps[spec.name]
         elif spec.kind == "key_pk":
@@ -230,6 +254,10 @@ def flatten_event_batch(
         "timestamp_type": _arr(batch.column("timestamp_type")) if "timestamp_type" in names
         else pa.array(["CreateTime"] * n, pa.string()),
     }
+    if plan.db_timezone and plan.db_timezone != "UTC":
+        batch_cols["timestamp"] = to_wallclock(
+            batch_cols["timestamp"], plan.db_timezone
+        )
 
     key_arrs: dict[str, pa.Array] = {}
     for col, kfield, dtype in plan.key_pks:
@@ -244,7 +272,7 @@ def flatten_event_batch(
 
     out: dict[str, pa.Table] = {}
     for tp in plan.tables:
-        parts = [_data_rows(tp, value, batch_cols, key_arrs)]
+        parts = [_data_rows(tp, value, batch_cols, key_arrs, tz=plan.db_timezone)]
         if cfg.insert_mode == "upsert" and n_data:
             parts.append(
                 _key_only_rows(tp, OP_MARKER, data_sel, batch_cols, key_arrs, n)

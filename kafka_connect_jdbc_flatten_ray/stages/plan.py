@@ -153,6 +153,9 @@ class FlattenPlan:
     # key-pk extraction shared by every table (and by tombstone fan-out):
     # list of (target column name, key struct field or None, dtype)
     key_pks: tuple[tuple[str, str | None, pa.DataType], ...]
+    # db.timezone (JdbcSinkConfig.java:218-220): timestamps rendered as
+    # wall-clock in this zone (DateTimeUtils.java calendar-binding analogue)
+    db_timezone: str = "UTC"
 
 
 _COORDS = ("topic", "partition", "offset", "timestamp", "timestamp_type")
@@ -431,7 +434,8 @@ def build_plan(
             )
         )
 
-    return FlattenPlan(topic=topic, key_kind=key_kind, tables=tuple(tables), key_pks=key_pks)
+    return FlattenPlan(topic=topic, key_kind=key_kind, tables=tuple(tables),
+                       key_pks=key_pks, db_timezone=cfg.db_timezone)
 
 
 def schema_fingerprint(

@@ -238,3 +238,26 @@ class TestPkAndOps:
         out = flatten_event_batch(plan, c, batch)
         child = rows(out["atopic_person_address"])
         assert [r["person_firstname"] for r in child] == ["ann", "ann"]
+
+
+class TestDbTimezone:
+    """db.timezone wall-clock rendering (JdbcSinkConfig.java:218-220,
+    util/DateTimeUtils.java calendar binding)."""
+
+    def test_fixed_offset(self):
+        from kafka_connect_jdbc_flatten_ray.stages.kernel import to_wallclock
+
+        arr = pa.array([1600000000000], pa.timestamp("ms"))  # 2020-09-13 12:26:40 UTC
+        out = to_wallclock(arr, "+02:00")
+        assert str(out[0]) == "2020-09-13 14:26:40"
+        out = to_wallclock(arr, "-05:30")
+        assert str(out[0]) == "2020-09-13 06:56:40"
+
+    def test_named_zone_dst(self):
+        from kafka_connect_jdbc_flatten_ray.stages.kernel import to_wallclock
+
+        # Oslo is CEST (+2) in September, CET (+1) in January
+        sept = pa.array([1600000000000], pa.timestamp("ms"))
+        jan = pa.array([1610000000000], pa.timestamp("ms"))  # 2021-01-07 06:13:20 UTC
+        assert str(to_wallclock(sept, "Europe/Oslo")[0]) == "2020-09-13 14:26:40"
+        assert str(to_wallclock(jan, "Europe/Oslo")[0]) == "2021-01-07 07:13:20"
