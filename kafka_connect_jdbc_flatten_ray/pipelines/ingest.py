@@ -240,7 +240,13 @@ def run_epoch(
             if o > new_offsets.get(p, -1):
                 new_offsets[p] = int(o)
     for t, files in bucket_files.items():
-        TableManifest(lake_root, t).publish(epoch, files, per_table[t])
+        TableManifest(lake_root, t).publish(
+            epoch, files, per_table[t],
+            partitioning={
+                "num_buckets": cfg.num_buckets,
+                "key_pk_cols": list(key_cols.get(t, ())),
+            },
+        )
     ck.save(epoch, new_offsets, {"tables": per_table})
     return {"epoch": epoch, "tables": per_table, "offsets": new_offsets}
 
@@ -257,21 +263,32 @@ def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
 def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:
     """Point lookup by key-PK: bucket pruning reads ONE bucket file.
 
-    ``key_values`` maps key-pk column names to values in plan column order;
-    the bucket is recomputed with the same hash the writer used, so only
-    lake/{table}/bucket=<h>/... is scanned.
+    ``key_values`` maps key-pk column names to values; the bucket is
+    recomputed with the same hash the writer used, with num_buckets and the
+    key-pk column order read from the table MANIFEST (persisted at publish
+    time) — never assumed from defaults, so lakes written with custom
+    bucket counts or key layouts prune correctly.
     """
     import pandas as pd
     import pyarrow.parquet as pq
     import numpy as np
 
-    cfg = default_config()
-    plan = default_plan(cfg)
-    tp = next(t for t in plan.tables if t.table == table)
-    df = pd.DataFrame({c: [key_values[c]] for c in tp.key_pk_cols})
+    manifest = TableManifest(lake_root, table)
+    m = manifest.load() or {}
+    part = m.get("partitioning") or {}
+    if part:
+        num_buckets = int(part["num_buckets"])
+        key_pk_cols = tuple(part["key_pk_cols"])
+    else:  # pre-partitioning manifests: fall back to the default plan
+        cfg = default_config()
+        plan = default_plan(cfg)
+        tp = next(t for t in plan.tables if t.table == table)
+        num_buckets = cfg.num_buckets
+        key_pk_cols = tp.key_pk_cols
+    df = pd.DataFrame({c: [key_values[c]] for c in key_pk_cols})
     h = pd.util.hash_pandas_object(df, index=False).to_numpy()
-    bucket = int(h[0] % np.uint64(cfg.num_buckets))
-    path = TableManifest(lake_root, table).current_files().get(bucket)
+    bucket = int(h[0] % np.uint64(num_buckets))
+    path = manifest.current_files().get(bucket)
     if path is None:
         return []
     t = pq.read_table(path)

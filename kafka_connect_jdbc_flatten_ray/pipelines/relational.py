@@ -197,8 +197,10 @@ GROUP BY o_orderpriority
 
 
 def distinct_langs(sf_dir: str):
-    # distinct via per-batch dedup + tiny driver merge (Dataset.unique's
-    # aggregation path is flaky on sparse blocks in ray 2.49)
+    """Distributed distinct: per-batch pre-dedup, then groupby-count and
+    project the key (the groupby aggregate path is solid in ray 2.49,
+    unlike Dataset.unique's sparse-block merge — commit 2cd70f5). No
+    driver-side value collection."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     partial = ds.map_batches(
         lambda t: pa.table({"lang": pc.unique(t.column("lang").combine_chunks())})
@@ -206,8 +208,9 @@ def distinct_langs(sf_dir: str):
         else pa.table({"lang": pc.unique(t.column("lang"))}),
         batch_format="pyarrow",
     )
-    vals = sorted({r["lang"] for r in partial.take_all()})
-    return pd.DataFrame({"lang": vals})
+    return partial.groupby("lang").count().map_batches(
+        lambda t: pa.table({"lang": t.column("lang")}), batch_format="pyarrow"
+    )
 
 
 ORACLE_DISTINCT_LANGS = "SELECT DISTINCT lang FROM documents"

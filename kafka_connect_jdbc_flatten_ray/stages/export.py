@@ -28,17 +28,35 @@ from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
 def export_corpus(
     ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 100_000
 ) -> dict:
-    """Write sharded Parquet + manifest; returns the manifest dict."""
+    """Write sharded Parquet + manifest; returns the manifest dict.
+
+    Crash-safe: shards land in a fresh staging directory that atomically
+    replaces ``data/`` only after the write completes, so UUID-named shards
+    left by a crashed or previous run can never be absorbed into the
+    manifest. The verification digest (which embeds the row count) is
+    computed in ONE distributed read of the published shards."""
+    import shutil
+    import uuid
+
     data_dir = os.path.join(out_dir, "data")
-    ds.write_parquet(data_dir, min_rows_per_file=min_rows_per_file)
-    files = sorted(
-        os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
+    stage_dir = os.path.join(out_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    os.makedirs(stage_dir)
+    try:
+        ds.write_parquet(stage_dir, min_rows_per_file=min_rows_per_file)
+        files = sorted(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.replace(stage_dir, data_dir)
+    except BaseException:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        raise
+    digest = dataset_digest(
+        ray.data.read_parquet([os.path.join(data_dir, f) for f in files])
     )
-    back = ray.data.read_parquet(files)
     manifest = {
-        "files": [os.path.basename(f) for f in files],
-        "rows": back.count(),
-        "digest": dataset_digest(ray.data.read_parquet(files)),
+        "files": files,
+        "rows": int(digest.split(":")[1]),  # digest format "<hex>:<rows>"
+        "digest": digest,
     }
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:

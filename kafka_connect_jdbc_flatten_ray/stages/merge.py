@@ -76,6 +76,40 @@ def concat_payloads(group: pa.Table, prior: pa.Table | None = None) -> pa.Table:
     return pa.concat_tables(tables, promote_options="permissive")
 
 
+# one warning per worker process: the replay rank (partition << 40 | offset)
+# only totally orders a key's ops while the key stays on ONE partition (the
+# Kafka keyed-producer guarantee). A key observed on multiple partitions
+# (e.g. after a partition-count change) resolves last-wins by partition id,
+# which is arbitrary — surface it instead of staying silent.
+_warned_key_partition_instability = False
+
+
+def _check_key_partition_stability(codes: np.ndarray, part: np.ndarray) -> None:
+    global _warned_key_partition_instability
+    if _warned_key_partition_instability or not len(codes):
+        return
+    ng = int(codes.max()) + 1
+    pmin = np.full(ng, np.iinfo(np.int64).max)
+    pmax = np.full(ng, np.int64(-1))
+    np.minimum.at(pmin, codes, part)
+    np.maximum.at(pmax, codes, part)
+    unstable = int((pmin != pmax).sum())
+    if unstable:
+        import warnings
+
+        _warned_key_partition_instability = True
+        warnings.warn(
+            f"{unstable} key(s) observed on multiple kafka partitions in one "
+            "merge group; the (partition << 40 | offset) replay rank orders "
+            "their conflicting ops by partition id, not event time. This "
+            "breaks the key<->partition stability assumption (e.g. a "
+            "partition-count change mid-stream) — replay from a consistent "
+            "stream or rank by event timestamp.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def last_wins(full: pa.Table, key_cols: tuple[str, ...], n_new: int | None = None) -> pa.Table:
     """Apply the replay rule; returns surviving data rows (op column dropped,
     order columns kept for incremental re-merge).
@@ -101,6 +135,9 @@ def last_wins(full: pa.Table, key_cols: tuple[str, ...], n_new: int | None = Non
         np.maximum.at(maxclear, codes[~is_data], clear_rank[~is_data])
         mc = maxclear[codes]
         keep = is_data & (rank >= mc)
+        _check_key_partition_stability(
+            codes, full.column(PART_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         if n_new is not None and n_new < full.num_rows:
             is_prior = np.zeros(full.num_rows, bool)
             is_prior[n_new:] = True
@@ -112,17 +149,23 @@ def last_wins(full: pa.Table, key_cols: tuple[str, ...], n_new: int | None = Non
 
 
 def _factorize_array(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, int]:
-    import pandas as pd
+    """Dense group ids via Arrow's hash table (pc.dictionary_encode) — no
+    pandas round-trip in the merge hot path. Only group IDENTITY matters
+    to the callers, not code order. Nulls get their own group id."""
+    import pyarrow.compute as pc
 
-    codes, uniq = pd.factorize(
-        col.to_pandas(types_mapper=None), use_na_sentinel=False
-    )
-    return codes.astype(np.int64), len(uniq)
+    d = pc.dictionary_encode(col)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    n = len(d.dictionary)
+    idx = d.indices
+    if idx.null_count:
+        idx = pc.fill_null(idx, n)
+        n += 1
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64), n
 
 
 def _factorize_multi(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
-    import pandas as pd
-
     combined = None
     for c in cols:
         codes, n = _factorize_array(tbl.column(c))
@@ -130,9 +173,12 @@ def _factorize_multi(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
             combined = codes
         else:
             combined = combined * np.int64(n) + codes
-    # re-factorize the combined code to keep ids dense
-    codes, _ = pd.factorize(combined, use_na_sentinel=False)
-    return codes.astype(np.int64)
+    # re-densify the combined code (int64 hash factorize — cheap; the
+    # expensive string->object conversion is what dictionary_encode avoids)
+    import pandas as pd
+
+    dense, _ = pd.factorize(combined, use_na_sentinel=False)
+    return dense.astype(np.int64)
 
 
 def local_prereduce(tbl: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:

@@ -258,10 +258,29 @@ def _extract_key_pks(
         return (), "none"
     if cfg.pk_mode == "record_key":
         if not _is_container(key_type):
+            # FieldsMetadata.java:289-295: a primitive key needs EXACTLY one
+            # configured PK column name (or none -> default); extras are a
+            # misconfiguration, not something to silently ignore
+            if len(cfg.pk_fields_lc) > 1:
+                raise ValueError(
+                    "Need exactly one PK column defined since the key schema "
+                    f"for records is a primitive type, defined columns are: "
+                    f"{cfg.pk_fields_lc}"
+                )
             name = cfg.pk_fields_lc[0] if cfg.pk_fields_lc else "key"
             return ((ucase(cfg, name), None, key_type),), "primitive"
         if _is_struct(key_type):
             wanted = set(cfg.pk_fields_lc)
+            # FieldsMetadata.java:306-312: configured fields absent from the
+            # key schema raise, never silently filter
+            key_names = {f.name.lower() for f in key_type}
+            missing = wanted - key_names
+            if missing:
+                raise ValueError(
+                    f"PK mode for table is record_key with configured PK "
+                    f"fields {sorted(wanted)}, but record key schema does "
+                    f"not contain field: {sorted(missing)}"
+                )
             pks = [
                 (ucase(cfg, f.name), f.name, f.type)
                 for f in key_type

@@ -39,11 +39,14 @@ class TableManifest:
         bucket_files: dict[int, str],
         stats: dict,
         schema_str: str | None = None,
+        partitioning: dict | None = None,
     ) -> None:
         """Atomic manifest swap: current state becomes the new epoch's files.
 
         Buckets untouched this epoch keep their previous file (bounded
         rewrite scope — only buckets that saw ops are rewritten).
+        ``partitioning`` records {num_buckets, key_pk_cols} at write time so
+        readers (lake_lookup bucket pruning) never assume defaults.
         """
         prev = self.load() or {"buckets": {}, "epochs": []}
         buckets = {int(b): p for b, p in prev["buckets"].items()}
@@ -52,6 +55,7 @@ class TableManifest:
             "table": os.path.basename(self.dir),
             "epoch": epoch,
             "schema": schema_str or prev.get("schema"),
+            "partitioning": partitioning or prev.get("partitioning"),
             "buckets": {str(b): p for b, p in sorted(buckets.items())},
             "epochs": prev["epochs"] + [{"epoch": epoch, **stats}],
         }

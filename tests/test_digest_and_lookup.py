@@ -67,3 +67,20 @@ class TestCrashSafety:
         after = dataset_digest(ingest.read_lake_table(lake, "cdc_filechange"))
         assert before == after
         os.remove(stray)
+
+
+class TestLookupCustomBuckets:
+    def test_nondefault_bucket_count_pruned_correctly(self, ray_session, sf_dir, tmp_path):
+        """A lake ingested with a non-default num_buckets must still resolve
+        point lookups: the bucket count/key layout come from the manifest,
+        not from default_config (ADVICE: ingest.py lake_lookup)."""
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        lake = str(tmp_path / "lake_b7")
+        cfg = ingest.default_config(num_buckets=7)
+        ingest.run_epoch(sf_dir, lake, cfg=cfg)
+        rows = ingest.lake_lookup(
+            lake, "cdc_filechange",
+            {"filechangekey_repo": "repo_1", "filechangekey_path": "src/doc_1.txt"},
+        )
+        assert len(rows) == 1 and rows[0]["version"] == 1  # doc 1: maxv = 1

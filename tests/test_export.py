@@ -54,3 +54,24 @@ class TestPacking:
         k1 = sorted((r["group"], r["seq_idx"], tuple(r["tokens"])) for r in seqs)
         k2 = sorted((r["group"], r["seq_idx"], tuple(r["tokens"])) for r in seqs2)
         assert k1 == k2
+
+
+class TestStaleShardExclusion:
+    def test_rerun_replaces_stale_shards(self, ray_session, sf_dir, tmp_path):
+        """A crashed/previous run's shards in data/ must not pollute the
+        manifest: the export stages into a fresh dir and atomically
+        replaces data/, so rows and digest reflect exactly this export."""
+        import os
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        out = str(tmp_path / "corpus3")
+        # simulate leftovers from a previous run
+        os.makedirs(os.path.join(out, "data"))
+        stale = os.path.join(out, "data", "stale-leftover.parquet")
+        pq.write_table(pq.read_table(f"{sf_dir}/documents.parquet").slice(0, 50), stale)
+        manifest = export.export_corpus(docs, out, min_rows_per_file=200)
+        assert manifest["rows"] == 500  # not 550
+        assert "stale-leftover.parquet" not in manifest["files"]
+        assert not os.path.exists(stale)
+        assert export.verify_export(out)

@@ -261,3 +261,29 @@ class TestDbTimezone:
         jan = pa.array([1610000000000], pa.timestamp("ms"))  # 2021-01-07 06:13:20 UTC
         assert str(to_wallclock(sept, "Europe/Oslo")[0]) == "2020-09-13 14:26:40"
         assert str(to_wallclock(jan, "Europe/Oslo")[0]) == "2021-01-07 07:13:20"
+
+
+class TestKeyPartitionStabilityWarning:
+    def test_warns_when_key_migrates_partitions(self):
+        import warnings
+
+        from kafka_connect_jdbc_flatten_ray.stages import merge as m
+        from kafka_connect_jdbc_flatten_ray.stages.plan import (
+            OFF_COL, OP_COL, PART_COL, OP_INSERT, OP_MARKER,
+        )
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "a", "b"]),
+                "v": pa.array([1, 2, 3]),
+                OP_COL: pa.array([OP_INSERT, OP_MARKER, OP_INSERT]),
+                PART_COL: pa.array([0, 1, 0], pa.int32()),  # 'a' on two parts
+                OFF_COL: pa.array([5, 1, 2], pa.int64()),
+            }
+        )
+        m._warned_key_partition_instability = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            m.last_wins(t, ("k",))
+        assert any("multiple kafka partitions" in str(x.message) for x in w)
+        m._warned_key_partition_instability = False

@@ -219,3 +219,42 @@ class TestMaps:
         child = next(tp for tp in plan.tables if tp.table == "atopic_person_address")
         names = [cc.name for cc in child.columns if cc.kind in ("leaf", "capture")]
         assert set(names) == {"street", "number", "person_address_key"}
+
+
+class TestRecordKeyPkValidation:
+    """Misconfigured record_key PKs must raise like FieldsMetadata
+    (FieldsMetadata.java:289-312), not pass silently."""
+
+    def test_primitive_key_with_two_pk_fields_raises(self):
+        from kafka_connect_jdbc_flatten_ray.config import SinkConfig
+        from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan
+
+        cfg = SinkConfig(pk_mode="record_key", pk_fields=("a", "b"),
+                         delete_enabled=False)
+        vt = pa.struct([pa.field("x", pa.int64())])
+        with pytest.raises(ValueError, match="exactly one PK column"):
+            build_plan(cfg, "t", vt, "v", pa.int64(), "k")
+
+    def test_struct_key_missing_configured_field_raises(self):
+        from kafka_connect_jdbc_flatten_ray.config import SinkConfig
+        from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan
+
+        cfg = SinkConfig(pk_mode="record_key", pk_fields=("id", "nope"),
+                         delete_enabled=False)
+        vt = pa.struct([pa.field("x", pa.int64())])
+        kt = pa.struct([pa.field("id", pa.int64())])
+        with pytest.raises(ValueError, match="does not contain field.*nope"):
+            build_plan(cfg, "t", vt, "v", kt, "k")
+
+    def test_valid_configs_still_build(self):
+        from kafka_connect_jdbc_flatten_ray.config import SinkConfig
+        from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan
+
+        vt = pa.struct([pa.field("x", pa.int64())])
+        kt = pa.struct([pa.field("id", pa.int64())])
+        cfg = SinkConfig(pk_mode="record_key", pk_fields=("id",),
+                         delete_enabled=False)
+        assert build_plan(cfg, "t", vt, "v", kt, "k").key_pks
+        cfg2 = SinkConfig(pk_mode="record_key", pk_fields=("renamed",),
+                          delete_enabled=False)
+        assert build_plan(cfg2, "t", vt, "v", pa.int64(), "k").key_pks[0][0] == "renamed"
