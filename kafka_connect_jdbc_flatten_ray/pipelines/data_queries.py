@@ -89,6 +89,55 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+# Horner fold over the document's (ASCII) bytes — exactly the mod-2^64
+# polynomial hash Fingerprint computes (HUGEINT holds acc*BASE+b < 2^84).
+# ord(c) == utf8 byte only for ASCII text, which the synthetic corpus is;
+# the general-bytes case is covered by tests/test_reference_impls.py.
+ORACLE_FINGERPRINT = r"""
+WITH f AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+      (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)
+    ) AS fp
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN fp >= CAST('9223372036854775808' AS HUGEINT)
+       THEN fp - CAST('18446744073709551616' AS HUGEINT) ELSE fp END AS BIGINT)
+  AS fingerprint
+FROM f
+"""
+
+
+# The fake-audio payload is the text's bytes cycled to 2*clamp(len,16,4096)
+# bytes, read as s16le samples; every output is then integer arithmetic
+# (sums of squares < 2^53 are exact in float64, so even rms is bit-equal).
+ORACLE_AUDIO_FEATURES = """
+WITH b AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
+         length(text) AS len,
+         2 * greatest(16, least(4096, length(text))) AS need
+  FROM documents
+), s AS (
+  SELECT doc_id, need // 2 AS n_samples,
+    list_transform(range(need // 2), i ->
+      CASE WHEN bytes[(2*i) % len + 1] + 256 * bytes[(2*i+1) % len + 1] >= 32768
+           THEN bytes[(2*i) % len + 1] + 256 * bytes[(2*i+1) % len + 1] - 65536
+           ELSE bytes[(2*i) % len + 1] + 256 * bytes[(2*i+1) % len + 1] END) AS smp
+  FROM b
+)
+SELECT doc_id AS media_id,
+  CAST(n_samples AS BIGINT) AS n_samples,
+  sqrt(list_sum(list_transform(smp, x -> CAST(x*x AS DOUBLE))) / n_samples) AS rms,
+  CAST(len(list_filter(range(n_samples - 1), i -> smp[i+1] * smp[i+2] < 0)) AS BIGINT)
+    AS zero_crossings,
+  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak
+FROM s
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """Composed training-data pipeline, fully distributed (nothing per-doc
     touches the driver): one pass computes quality metrics + content
@@ -386,6 +435,10 @@ def data_oracles() -> dict:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "media_video_frames": ORACLE_VIDEO_FRAMES,
-        # minhash/simhash/ngram/embedding pairs, fingerprint, ivf,
-        # image decode, audio features: rows-only
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "media_audio_features": ORACLE_AUDIO_FEATURES,
+        # minhash/simhash/ngram/embedding pairs + keep/clusters, HLL
+        # distinct, ivf, image decode: rows-only (LSH/sketch randomness or
+        # byte-level histograms SQL can't express; each has a second
+        # independent Python reference in tests/test_reference_impls.py)
     }
