@@ -59,6 +59,7 @@ import struct as _struct
 
 _CODEC_TAGS = {"zstd": b"Z", "lz4": b"L", "none": b"N"}
 _TAG_CODECS = {b"Z"[0]: "zstd", b"L"[0]: "lz4", b"N"[0]: "none"}
+_CODECS = {"zstd": pa.Codec("zstd"), "lz4": pa.Codec("lz4")}
 
 
 def serialize_ipc(tbl: pa.Table, codec: str = "zstd") -> bytes:
@@ -69,7 +70,7 @@ def serialize_ipc(tbl: pa.Table, codec: str = "zstd") -> bytes:
     head = _CODEC_TAGS[codec] + _struct.pack("<Q", raw.size)
     if codec == "none":
         return head + raw.to_pybytes()
-    body = pa.Codec(codec).compress(raw)
+    body = _CODECS[codec].compress(raw)
     return head + (body.to_pybytes() if hasattr(body, "to_pybytes") else bytes(body))
 
 
@@ -82,7 +83,7 @@ def deserialize_ipc(buf) -> pa.Table:
     if codec == "none":
         raw = pa.py_buffer(mv[9:])
     else:
-        raw = pa.Codec(codec).decompress(mv[9:], decompressed_size=rawlen)
+        raw = _CODECS[codec].decompress(mv[9:], decompressed_size=rawlen)
     return pa.ipc.open_stream(pa.py_buffer(raw)).read_all()
 
 
