@@ -393,6 +393,21 @@ WHERE o_orderkey > (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 FROM orders)
 """
 
 
+CUSTOM_QUERY_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 3) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def source_custom_query(sf_dir: str) -> ray.data.Dataset:
+    """S5 query mode: user SQL replaces the table scan
+    (JdbcSourceTask.java:102-111); single producer, streamed blocks."""
+    from kafka_connect_jdbc_flatten_ray.sources.custom_query import source_query
+
+    return source_query(CUSTOM_QUERY_SQL, sf_dir)
+
+
 ORACLE_SOURCE_TS_INC = """
 WITH mid AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS i FROM events),
 t AS (SELECT MAX(ts) AS t FROM events WHERE event_id <= (SELECT i FROM mid))
@@ -420,6 +435,7 @@ def cdc_queries() -> dict:
         "source_timestamp": queriers.source_timestamp,
         "source_timestamp_incrementing": queriers.source_timestamp_incrementing,
         "source_multi_table": source_multi_table,
+        "source_custom_query": source_custom_query,
     }
 
 
@@ -441,4 +457,5 @@ def cdc_oracles() -> dict:
         "source_timestamp": ORACLE_SOURCE_TIMESTAMP,
         "source_timestamp_incrementing": ORACLE_SOURCE_TS_INC,
         "source_multi_table": ORACLE_SOURCE_MULTI_TABLE,
+        "source_custom_query": CUSTOM_QUERY_SQL,
     }
