@@ -52,6 +52,17 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "user_id")
 
 
+def q_dedup_embedding_slim(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0).slice(0, 1)
+    dim = len(t.column("embedding")[0])
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return dedup.dedup_embedding_pairs_slim(emb, dim, threshold=0.35)
+
+
 def q_dedup_embedding(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -394,6 +405,7 @@ def data_queries() -> dict:
         "dedup_simhash_pairs": q_dedup_simhash,
         "dedup_ngram_jaccard_pairs": q_dedup_ngram,
         "dedup_embedding_pairs": q_dedup_embedding,
+        "dedup_embedding_pairs_slim": q_dedup_embedding_slim,
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,

@@ -575,3 +575,164 @@ def dedup_embedding_pairs(
         lambda t: t.rename_columns(["vec_a", "vec_b", "cos"]),
         batch_format="pyarrow",
     )
+
+
+class HyperplaneBucketIds(HyperplaneBucket):
+    """Slim variant: (table_id, bucket, vec_id) rows WITHOUT the vector —
+    the bucketing shuffle then moves ~12 bytes/row instead of the unit
+    vector replicated once per table (8x dim floats)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(
+            len(emb), -1
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = (mat / np.maximum(norms, 1e-12)).astype(np.float32)
+        n = len(unit)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        weights = 1 << np.arange(self.num_planes)
+        tables, buckets = [], []
+        for t in range(self.num_tables):
+            bits = (unit @ self.planes[t]) > 0
+            buckets.append(bits @ weights)
+            tables.append(np.full(n, t, np.int32))
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(tables)),
+                "bucket": pa.array(np.concatenate(buckets).astype(np.int32)),
+                "vec_id": pa.array(np.tile(ids, self.num_tables)),
+            }
+        )
+
+
+def _star_candidates(group: pd.DataFrame) -> pd.DataFrame:
+    if len(group) < 2:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64")})
+    ids = np.sort(group["vec_id"].to_numpy())
+    return pd.DataFrame({"vec_a": np.full(len(ids) - 1, ids[0]), "vec_b": ids[1:]})
+
+
+def dedup_embedding_pairs_slim(
+    embeddings: ray.data.Dataset, dim: int, threshold: float = 0.9,
+    num_planes: int = 10, num_tables: int = 8,
+) -> ray.data.Dataset:
+    """The 100 TB-scale path for embedding near-dup: candidate generation
+    shuffles only (table_id, bucket, vec_id) — ~12 bytes per row instead of
+    the full unit vector per LSH table (8x dim floats in the dense
+    variant). Vectors are then attached to the deduped candidate pairs via
+    two sort-based groupbys (each vector crosses the exchange once, plus
+    two blobs per surviving candidate pair) and cosine is verified exactly,
+    giving the same pairs as dedup_embedding_pairs. Everything is
+    map_groups/union — no hash joins, so none of ray 2.49's zero-schema
+    empty-block join crashes."""
+    rows = embeddings.map_batches(
+        HyperplaneBucketIds(dim, num_planes, num_tables),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cand = rows.groupby(["table_id", "bucket"]).map_groups(
+        _star_candidates, batch_format="pandas"
+    )
+    cand = cand.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+    def _unit_rows(t: pa.Table) -> pa.Table:
+        # unit vectors as fixed-width binary blobs: the acero hash join
+        # rejects nested (list) payload columns, and a binary column also
+        # moves through the exchange with zero per-element overhead
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(
+            len(emb), -1
+        )
+        unit = (mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12))
+        blob = unit.astype("<f4").tobytes()
+        width = mat.shape[1] * 4
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "vec": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(width), len(mat), [None, pa.py_buffer(blob)]
+                ),
+            }
+        )
+
+    vecs = embeddings.map_batches(_unit_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    # attach vectors via two SORT-based groupbys instead of hash joins
+    # (ray 2.49 joins choke on the empty blocks shuffles can emit, and the
+    # acero join also rejects nested payloads): each candidate pair sends
+    # one row to each endpoint's node group, picks up the node's vector
+    # blob there, and the pair's two halves recombine on (vec_a, vec_b).
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        a = t.column("vec_a").to_numpy(zero_copy_only=False)
+        b = t.column("vec_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "vec_a": pa.array(np.concatenate([a, a])),
+                "vec_b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    )
+                ),
+                "blob": pa.nulls(2 * len(a), pa.large_binary()),
+            }
+        )
+
+    def _vec_rows(t: pa.Table) -> pa.Table:
+        blob = pc.cast(t.column("vec"), pa.large_binary())
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": t.column("vec_id"),
+                "vec_a": pa.nulls(n, pa.int64()),
+                "vec_b": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.full(n, -1, np.int8)),
+                "blob": blob,
+            }
+        )
+
+    tagged = cand.map_batches(_pair_rows, batch_format="pyarrow").union(
+        vecs.map_batches(_vec_rows, batch_format="pyarrow")
+    )
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        vec_row = df[df["side"] == -1]
+        pair_rows = df[df["side"] >= 0]
+        if vec_row.empty or pair_rows.empty:
+            return pair_rows.iloc[0:0]
+        out = pair_rows.copy()
+        out["blob"] = [vec_row["blob"].iloc[0]] * len(out)
+        return out
+
+    attached = tagged.groupby("node").map_groups(_attach, batch_format="pandas")
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        ua = np.frombuffer(a["blob"].iloc[0], dtype="<f4")
+        ub = np.frombuffer(b["blob"].iloc[0], dtype="<f4")
+        cos = float(np.float64(0) + (ua.astype(np.float64) @ ub.astype(np.float64)))
+        if cos < threshold:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        return pd.DataFrame(
+            {"vec_a": [int(a["vec_a"].iloc[0])], "vec_b": [int(a["vec_b"].iloc[0])],
+             "cos": [cos]}
+        )
+
+    return attached.groupby(["vec_a", "vec_b"]).map_groups(
+        _combine, batch_format="pandas"
+    )

@@ -128,3 +128,29 @@ class TestANNBoundedDriverReads:
         bfs = {(r["query_id"], r["vec_id"]) for r in bf}
         ivs = {(r["query_id"], r["vec_id"]) for r in ivf}
         assert len(bfs & ivs) == len(bfs)  # nprobe == all buckets -> recall 1
+
+
+class TestEmbeddingSlim:
+    def test_slim_matches_dense(self, ray_session):
+        """The slim (id-only shuffle + vector re-join) variant must produce
+        the same verified pairs as the dense variant."""
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal(32).astype(np.float32)
+        near = base + 0.05 * rng.standard_normal(32).astype(np.float32)
+        far = rng.standard_normal((6, 32)).astype(np.float32)
+        mat = np.vstack([base, near, far])
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": list(range(len(mat))),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1)), 32
+                    ).cast(pa.list_(pa.float32())),
+                }
+            )
+        )
+        dense = {(r["vec_a"], r["vec_b"]): round(r["cos"], 5)
+                 for r in dedup.dedup_embedding_pairs(emb, 32, 0.9).take_all()}
+        slim = {(r["vec_a"], r["vec_b"]): round(r["cos"], 5)
+                for r in dedup.dedup_embedding_pairs_slim(emb, 32, 0.9).take_all()}
+        assert dense == slim and (0, 1) in slim
