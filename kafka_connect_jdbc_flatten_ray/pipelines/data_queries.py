@@ -29,6 +29,10 @@ def q_dedup_minhash(sf_dir: str):
     return dedup.dedup_minhash_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_dedup_minhash_slim(sf_dir: str):
+    return dedup.dedup_minhash_pairs_slim(_docs(sf_dir), threshold=0.5)
+
+
 def q_dedup_simhash(sf_dir: str):
     return dedup.dedup_simhash_pairs(_docs(sf_dir), max_hamming=3)
 
@@ -402,6 +406,7 @@ def data_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_minhash_pairs_slim": q_dedup_minhash_slim,
         "dedup_simhash_pairs": q_dedup_simhash,
         "dedup_ngram_jaccard_pairs": q_dedup_ngram,
         "dedup_embedding_pairs": q_dedup_embedding,

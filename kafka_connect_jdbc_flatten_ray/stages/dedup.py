@@ -264,6 +264,133 @@ def dedup_ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5):
     return dedup_minhash_pairs(docs, threshold, shingles="char")
 
 
+class MinHashStageSlim(MinHashStage):
+    """Slim banding rows: (band_id, band_hash, doc_id) WITHOUT the
+    signature — the LSH shuffle then moves ~20 bytes per row instead of the
+    full NUM_PERM signature replicated once per band (8x 256 bytes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        full = super().__call__(batch)
+        return full.drop_columns(["sig"])
+
+
+class MinHashSignatures(MinHashStage):
+    """Per-doc signature rows (doc_id, sig as a NUM_PERM*8-byte blob) for
+    the verification attach stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        full = super().__call__(batch)
+        n = batch.num_rows
+        first_band = full.slice(0, n)  # identical sig in every band row
+        sig = first_band.column("sig")
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        flat = sig.values.to_numpy(zero_copy_only=False).astype("<i8").tobytes()
+        width = NUM_PERM * 8
+        return pa.table(
+            {
+                "doc_id": first_band.column("doc_id"),
+                "sig": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(width), n, [None, pa.py_buffer(flat)]
+                ),
+            }
+        )
+
+
+def dedup_minhash_pairs_slim(
+    docs: ray.data.Dataset, threshold: float = 0.5, shingles: str = "word"
+) -> ray.data.Dataset:
+    """The 100 TB-scale MinHash-LSH path: banding rows carry no signatures
+    (8x less exchange than dedup_minhash_pairs), candidate pairs from the
+    bucket stars are deduped, and each pair's two signatures are attached
+    through sort-based groupbys (one signature blob per doc over the wire,
+    plus two per surviving candidate) for exact est-jaccard verification —
+    same pairs as the dense variant."""
+    rows = docs.map_batches(
+        MinHashStageSlim(shingles), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _bucket_cands(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ids = np.sort(group["doc_id"].to_numpy())
+        return pd.DataFrame({"doc_a": np.full(len(ids) - 1, ids[0]), "doc_b": ids[1:]})
+
+    cand = rows.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_cands, batch_format="pandas"
+    )
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+    sigs = docs.map_batches(
+        MinHashSignatures(shingles), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(np.concatenate(
+                    [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])),
+                "blob": pa.nulls(2 * len(a), pa.large_binary()),
+            }
+        )
+
+    def _sig_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": t.column("doc_id"),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.full(n, -1, np.int8)),
+                "blob": pc.cast(t.column("sig"), pa.large_binary()),
+            }
+        )
+
+    tagged = cand.map_batches(_pair_rows, batch_format="pyarrow").union(
+        sigs.map_batches(_sig_rows, batch_format="pyarrow")
+    )
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        sig_row = df[df["side"] == -1]
+        pair_rows = df[df["side"] >= 0]
+        if sig_row.empty or pair_rows.empty:
+            return pair_rows.iloc[0:0]
+        out = pair_rows.copy()
+        out["blob"] = [sig_row["blob"].iloc[0]] * len(out)
+        return out
+
+    attached = tagged.groupby("node").map_groups(_attach, batch_format="pandas")
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        sa = np.frombuffer(a["blob"].iloc[0], dtype="<i8")
+        sb = np.frombuffer(b["blob"].iloc[0], dtype="<i8")
+        est = float((sa == sb).mean())
+        if est < threshold:
+            return empty
+        return pd.DataFrame(
+            {"doc_a": [int(a["doc_a"].iloc[0])], "doc_b": [int(a["doc_b"].iloc[0])],
+             "est_jaccard": [est]}
+        )
+
+    return attached.groupby(["doc_a", "doc_b"]).map_groups(
+        _combine, batch_format="pandas"
+    )
+
+
 def dedup_minhash_clusters(
     docs: ray.data.Dataset,
     threshold: float = 0.9,

@@ -154,3 +154,12 @@ class TestEmbeddingSlim:
         slim = {(r["vec_a"], r["vec_b"]): round(r["cos"], 5)
                 for r in dedup.dedup_embedding_pairs_slim(emb, 32, 0.9).take_all()}
         assert dense == slim and (0, 1) in slim
+
+
+class TestMinHashSlim:
+    def test_slim_matches_dense(self, ray_session, docs_with_dups):
+        dense = {(r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 6)
+                 for r in dedup.dedup_minhash_pairs(docs_with_dups, 0.5).take_all()}
+        slim = {(r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 6)
+                for r in dedup.dedup_minhash_pairs_slim(docs_with_dups, 0.5).take_all()}
+        assert dense == slim and (0, 1) in slim
