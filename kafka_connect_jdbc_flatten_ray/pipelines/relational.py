@@ -378,6 +378,56 @@ FROM d WHERE doc_id % 2 = 0
 """
 
 
+def user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based session windows (30-min inactivity): one row per
+    (user, session) with event count and time bounds. Streaming-window
+    analogue expressed as groupby(user).map_groups with in-group sort."""
+    from kafka_connect_jdbc_flatten_ray.stages.windows import sessionize
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return sessionize(ds, gap_seconds=1800)
+
+
+ORACLE_USER_SESSIONS = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def clicks_asof_purchase(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join within the event stream: each click joined to the most
+    recent strictly-earlier purchase's value for the same user."""
+    from kafka_connect_jdbc_flatten_ray.stages.windows import asof_join_last_value
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    return asof_join_last_value(ds)
+
+
+ORACLE_CLICKS_ASOF = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS asof_value
+  FROM events
+)
+SELECT user_id, event_id, ts, asof_value FROM o WHERE event_type = 'click'
+"""
+
+
 def relational_queries() -> dict:
     return {
         "events_by_type": events_by_type,
@@ -391,6 +441,8 @@ def relational_queries() -> dict:
         "passthrough_upsert_delete": passthrough_upsert_delete,
         "passthrough_fields_whitelist": passthrough_fields_whitelist,
         "passthrough_update": passthrough_update,
+        "user_sessions": user_sessions,
+        "clicks_asof_purchase": clicks_asof_purchase,
     }
 
 
@@ -407,4 +459,6 @@ def relational_oracles() -> dict:
         "passthrough_upsert_delete": ORACLE_PASSTHROUGH_UPSERT_DELETE,
         "passthrough_fields_whitelist": ORACLE_PASSTHROUGH_FIELDS_WHITELIST,
         "passthrough_update": ORACLE_PASSTHROUGH_UPDATE,
+        "user_sessions": ORACLE_USER_SESSIONS,
+        "clicks_asof_purchase": ORACLE_CLICKS_ASOF,
     }

@@ -1,0 +1,71 @@
+"""Session-window and as-of join operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages.windows import (
+    asof_join_last_value,
+    sessionize,
+)
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        [np.datetime64("2024-01-01T00:00:00", "us")
+                         + np.timedelta64(r[1] * 1_000_000, "us") for r in rows]
+                    )
+                ),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([float(r[3]) for r in rows]),
+            }
+        )
+    )
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, ray_session):
+        ds = _events([
+            (1, 0, "view", 0), (1, 100, "view", 0),      # session 0
+            (1, 100 + 1801, "view", 0),                   # gap > 1800 -> session 1
+            (2, 0, "view", 0),                            # other user: own session
+        ])
+        out = sessionize(ds, gap_seconds=1800).take_all()
+        got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
+        assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+    def test_exact_gap_boundary_stays_in_session(self, ray_session):
+        ds = _events([(1, 0, "view", 0), (1, 1800, "view", 0)])
+        out = sessionize(ds, gap_seconds=1800).take_all()
+        assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+class TestAsofJoin:
+    def test_latest_strictly_earlier_right_value(self, ray_session):
+        ds = _events([
+            (1, 0, "click", 1),          # before any purchase -> NULL
+            (1, 10, "purchase", 50),
+            (1, 20, "click", 2),         # -> 50
+            (1, 30, "purchase", 70),
+            (1, 40, "click", 3),         # -> 70
+            (2, 5, "click", 4),          # other user, no purchase -> NULL
+        ])
+        out = {r["event_id"]: r["asof_value"]
+               for r in asof_join_last_value(ds).take_all()}
+        assert out[0] is None or (isinstance(out[0], float) and np.isnan(out[0]))
+        assert out[2] == 50.0 and out[4] == 70.0
+        assert out[5] is None or np.isnan(out[5])
+
+    def test_purchase_does_not_see_itself(self, ray_session):
+        # a click at the same timestamp as a purchase but later event_id
+        # sees it; the purchase itself never self-matches
+        ds = _events([(1, 10, "purchase", 9), (1, 10, "click", 0)])
+        out = asof_join_last_value(ds).take_all()
+        assert len(out) == 1 and out[0]["asof_value"] == 9.0
