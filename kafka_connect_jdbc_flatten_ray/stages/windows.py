@@ -33,8 +33,12 @@ def sessionize(
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts, order_tiebreak])
         t = g[ts].to_numpy()
-        gaps = np.diff(t).astype("timedelta64[s]").astype(np.int64)
-        new_sess = np.concatenate(([0], (gaps > gap_seconds).astype(np.int64)))
+        # compare at full native resolution — truncating to whole seconds
+        # would mis-classify a gap of e.g. 1800.4s as within-session
+        gaps_us = np.diff(t).astype("timedelta64[us]").astype(np.int64)
+        new_sess = np.concatenate(
+            ([0], (gaps_us > gap_seconds * 1_000_000).astype(np.int64))
+        )
         sess = np.cumsum(new_sess)
         g = g.assign(session_id=sess)
         out = g.groupby("session_id").agg(
