@@ -428,6 +428,94 @@ SELECT user_id, event_id, ts, asof_value FROM o WHERE event_type = 'click'
 """
 
 
+def user_trailing_hour(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate: per event, same-user events in the
+    trailing hour (RANGE-window semantics, ts-peers included)."""
+    from kafka_connect_jdbc_flatten_ray.stages.windows import trailing_window_counts
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return trailing_window_counts(ds, window_seconds=3600)
+
+
+ORACLE_USER_TRAILING_HOUR = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_trailing
+FROM events
+"""
+
+
+def stratified_sample_docs(sf_dir: str, per_group: int = 3) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``per_group`` lowest doc_ids of
+    each language (class-balanced eval-set carving)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def _head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(per_group)
+
+    _head.__name__ = "stratum_head"
+    return ds.groupby("lang").map_groups(_head, batch_format="pandas")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 3
+"""
+
+
+def top_terms_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Top-k most frequent whitespace tokens per language (count desc,
+    token asc tie-break): per-batch (lang, token) pre-aggregation keeps the
+    shuffle on partial counts, then a per-lang top-k map_groups."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        rep = pa.table(
+            {"lang": pa.array(np.repeat(lang, lens)), "token": flat}
+        )
+        g = pa.TableGroupBy(rep, ["lang", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["lang", "token", "n_part"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partial.groupby(["lang", "token"]).aggregate(
+        Sum("n_part", alias_name="n")
+    )
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g[["lang", "rank", "token", "n"]]
+
+    _topk.__name__ = "lang_topk"
+    return counts.groupby("lang").map_groups(_topk, batch_format="pandas")
+
+
+ORACLE_TOP_TERMS = """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT lang, token, COUNT(*) AS n FROM t GROUP BY lang, token
+)
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rank,
+       token, CAST(n AS BIGINT) AS n
+FROM c QUALIFY rank <= 5
+"""
+
+
 def relational_queries() -> dict:
     return {
         "events_by_type": events_by_type,
@@ -443,6 +531,9 @@ def relational_queries() -> dict:
         "passthrough_update": passthrough_update,
         "user_sessions": user_sessions,
         "clicks_asof_purchase": clicks_asof_purchase,
+        "user_trailing_hour": user_trailing_hour,
+        "stratified_sample_docs": stratified_sample_docs,
+        "top_terms_per_lang": top_terms_per_lang,
     }
 
 
@@ -461,4 +552,7 @@ def relational_oracles() -> dict:
         "passthrough_update": ORACLE_PASSTHROUGH_UPDATE,
         "user_sessions": ORACLE_USER_SESSIONS,
         "clicks_asof_purchase": ORACLE_CLICKS_ASOF,
+        "user_trailing_hour": ORACLE_USER_TRAILING_HOUR,
+        "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,
+        "top_terms_per_lang": ORACLE_TOP_TERMS,
     }

@@ -55,6 +55,38 @@ def sessionize(
     return events.groupby(key).map_groups(_sessions, batch_format="pandas")
 
 
+def trailing_window_counts(
+    events: ray.data.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    window_seconds: int = 3600,
+) -> ray.data.Dataset:
+    """Sliding event-time window: for every event, the number of same-key
+    events in the trailing ``window_seconds`` (inclusive of the current
+    event) — the RANGE-window aggregate, computed per key with a sorted
+    two-pointer (searchsorted) instead of an all-pairs range join."""
+
+    def _win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, id_col])
+        t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(t, t - window_seconds * 1_000_000, side="left")
+        # SQL RANGE windows include ALL ts-peers of the current row, not
+        # just preceding ones — count up to the right edge of the tie group
+        hi = np.searchsorted(t, t, side="right")
+        n = hi - lo
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                "n_trailing": n.astype(np.int64),
+            }
+        )
+
+    _win.__name__ = "trailing_window_counts"
+    return events.groupby(key).map_groups(_win, batch_format="pandas")
+
+
 def asof_join_last_value(
     events: ray.data.Dataset,
     key: str = "user_id",

@@ -69,3 +69,20 @@ class TestAsofJoin:
         ds = _events([(1, 10, "purchase", 9), (1, 10, "click", 0)])
         out = asof_join_last_value(ds).take_all()
         assert len(out) == 1 and out[0]["asof_value"] == 9.0
+
+
+class TestTrailingWindow:
+    def test_range_semantics_include_ts_peers(self, ray_session):
+        from kafka_connect_jdbc_flatten_ray.stages.windows import (
+            trailing_window_counts,
+        )
+
+        ds = _events([
+            (1, 0, "view", 0),
+            (1, 1800, "view", 0),
+            (1, 1800, "view", 0),     # ts peer: both peers count for each other
+            (1, 3601, "view", 0),     # first event fell out of the window
+        ])
+        out = {r["event_id"]: r["n_trailing"]
+               for r in trailing_window_counts(ds, window_seconds=3600).take_all()}
+        assert out == {0: 1, 1: 3, 2: 3, 3: 3}
