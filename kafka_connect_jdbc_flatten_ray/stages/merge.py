@@ -65,6 +65,24 @@ def _rank(tbl: pa.Table) -> np.ndarray:
     return (part << OFFSET_BITS) | off
 
 
+def _promote_to(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Align a chunk to the unified schema: missing columns become nulls,
+    differing types cast (the streaming-mode analogue of concat_tables'
+    permissive promotion)."""
+    import pyarrow.compute as pc
+
+    cols = []
+    for f in schema:
+        if f.name in tbl.column_names:
+            c = tbl.column(f.name)
+            if c.type != f.type:
+                c = pc.cast(c, f.type)
+            cols.append(c)
+        else:
+            cols.append(pa.nulls(tbl.num_rows, f.type))
+    return pa.table(dict(zip(schema.names, cols)))
+
+
 def concat_payloads(group: pa.Table, prior: pa.Table | None = None) -> pa.Table:
     """Deserialize a (table, bucket) group's payload blocks and concatenate
     with schema promotion (evolution-safe)."""
@@ -240,6 +258,15 @@ class MergeToLake:
     Idempotent per epoch: the output filename is deterministic and written
     via temp-file + rename (W6 retry-safety analogue, JdbcSinkTask.java:74-99),
     so Ray task retries or a resumed run rewrite the same state.
+
+    Groups whose estimated in-memory size exceeds ``stream_threshold_bytes``
+    are merged in STREAMING mode: pass 1 scans only (key, op, rank) columns
+    to build the per-key max-clear table, pass 2 re-streams each payload
+    (and the prior bucket file row-group by row-group), filters survivors
+    against that table and appends them through a ParquetWriter — worker
+    heap holds one chunk plus the clear table (one rank per cleared key)
+    instead of the whole group. This removes the bucket-fits-in-heap sizing
+    constraint (SCALE.md merge-group spill).
     """
 
     def __init__(
@@ -248,17 +275,53 @@ class MergeToLake:
         epoch: int,
         key_cols_by_table: dict[str, tuple[str, ...]],
         prior_files: dict[tuple[str, int], str] | None = None,
+        stream_threshold_bytes: int = 1 << 30,
     ):
         self.lake_root = lake_root
         self.epoch = epoch
         self.key_cols_by_table = key_cols_by_table
         self.prior_files = prior_files or {}
+        self.stream_threshold_bytes = stream_threshold_bytes
         self.__name__ = "MergeToLake"  # ray map_groups wants a fn-like name
+
+    def _stats_row(self, table, bucket, n_in, clears, n_out, path, offsets):
+        import json
+
+        return pa.Table.from_pylist(
+            [
+                {
+                    "table": table,
+                    "bucket": bucket,
+                    "rows_in": n_in,
+                    "clears_in": clears,
+                    "rows_out": n_out,
+                    "path": path,
+                    "offsets_json": json.dumps(offsets),
+                }
+            ],
+            schema=MERGE_STATS_SCHEMA,
+        )
+
+    def _out_path(self, table: str, bucket: int) -> str:
+        out_dir = os.path.join(self.lake_root, table, f"bucket={bucket:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        return os.path.join(out_dir, f"epoch-{self.epoch:06d}.parquet")
 
     def __call__(self, group: pa.Table) -> pa.Table:
         table = group.column("table")[0].as_py()
         bucket = group.column("bucket")[0].as_py()
         prior_path = self.prior_files.get((table, bucket))
+        # streaming trigger: estimated uncompressed group size (payload raw
+        # sizes are in each container header; prior size from file metadata)
+        est = sum(
+            int.from_bytes(p.as_py()[1:9], "little") if p.as_py()[0:1] in (b"Z", b"L", b"N")
+            else len(p.as_py())
+            for p in group.column("payload")
+        )
+        if prior_path:
+            est += os.path.getsize(prior_path) * 4  # parquet -> arrow blowup
+        if est > self.stream_threshold_bytes:
+            return self._merge_streaming(group, table, bucket, prior_path)
         prior = pq.read_table(prior_path) if prior_path else None
         if prior is not None:
             # lake rows are surviving inserts; restore their op for replay
@@ -284,25 +347,107 @@ class MergeToLake:
             full, self.key_cols_by_table.get(table, ()), n_new=new_ops.num_rows
         )
 
-        out_dir = os.path.join(self.lake_root, table, f"bucket={bucket:05d}")
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"epoch-{self.epoch:06d}.parquet")
+        path = self._out_path(table, bucket)
         tmp = path + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, path)  # atomic publish
-        import json
-
-        return pa.Table.from_pylist(
-            [
-                {
-                    "table": table,
-                    "bucket": bucket,
-                    "rows_in": n_in,
-                    "clears_in": clears,
-                    "rows_out": merged.num_rows,
-                    "path": path,
-                    "offsets_json": json.dumps(offsets),
-                }
-            ],
-            schema=MERGE_STATS_SCHEMA,
+        return self._stats_row(
+            table, bucket, n_in, clears, merged.num_rows, path, offsets
         )
+
+    def _merge_streaming(
+        self, group: pa.Table, table: str, bucket: int, prior_path: str | None
+    ) -> pa.Table:
+        """Two-pass bounded-memory merge of one (table, bucket) group."""
+        key_cols = self.key_cols_by_table.get(table, ())
+        payloads = group.column("payload")
+
+        def _chunks():
+            """(chunk, is_prior) over payloads then prior row groups."""
+            for buf in payloads:
+                yield deserialize_ipc(buf.as_py()), False
+            if prior_path:
+                pf = pq.ParquetFile(prior_path)
+                for rg in range(pf.metadata.num_row_groups):
+                    t = pf.read_row_group(rg)
+                    yield t.append_column(
+                        OP_COL, pa.array([OP_INSERT] * t.num_rows, pa.string())
+                    ), True
+
+        # ---- pass 1: per-key max clear rank + offsets + unified schema ----
+        import pandas as pd
+
+        clear_frames: list[pd.DataFrame] = []
+        offsets: dict[int, int] = {}
+        schemas: list[pa.Schema] = []
+        n_in = 0
+        clears = 0
+        for chunk, is_prior in _chunks():
+            n_in += chunk.num_rows
+            schemas.append(chunk.schema)
+            if not is_prior:
+                part = chunk.column(PART_COL).to_numpy(zero_copy_only=False)
+                off = chunk.column(OFF_COL).to_numpy(zero_copy_only=False)
+                for p in np.unique(part):
+                    o = int(off[part == p].max())
+                    if o > offsets.get(int(p), -1):
+                        offsets[int(p)] = o
+                op = chunk.column(OP_COL).to_numpy(zero_copy_only=False)
+                is_clear = op != OP_INSERT
+                nclear = int(is_clear.sum())
+                if nclear and key_cols:
+                    clears += nclear
+                    rank = _rank(chunk)
+                    sel = chunk.select(list(key_cols)).to_pandas()
+                    sel["__mc"] = rank
+                    clear_frames.append(sel[is_clear])
+        if clear_frames:
+            clear_tbl = (
+                pd.concat(clear_frames, ignore_index=True)
+                .groupby(list(key_cols), dropna=False, as_index=False)["__mc"]
+                .max()
+            )
+        else:
+            clear_tbl = None
+        unified = pa.unify_schemas(schemas, promote_options="permissive") \
+            if schemas else None
+
+        # ---- pass 2: filter survivors per chunk, append via ParquetWriter ----
+        path = self._out_path(table, bucket)
+        tmp = path + ".tmp"
+        n_out = 0
+        writer = None
+        try:
+            for chunk, is_prior in _chunks():
+                if unified is not None and chunk.schema != unified:
+                    chunk = _promote_to(chunk, unified)
+                op = chunk.column(OP_COL).to_numpy(zero_copy_only=False)
+                keep = op == OP_INSERT
+                if clear_tbl is not None and keep.any():
+                    rank = _rank(chunk)
+                    probe = chunk.select(list(key_cols)).to_pandas()
+                    probe["__rank"] = rank
+                    m = probe.merge(clear_tbl, on=list(key_cols), how="left")
+                    mc = m["__mc"].fillna(np.int64(-1)).to_numpy(np.int64)
+                    if is_prior:
+                        keep &= rank > mc  # strict domination for lake rows
+                    else:
+                        keep &= rank >= mc
+                if not keep.all():
+                    chunk = chunk.filter(pa.array(keep))
+                chunk = chunk.drop_columns([OP_COL])
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, chunk.schema)
+                n_out += chunk.num_rows
+                if chunk.num_rows:
+                    writer.write_table(chunk)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # no rows at all: write an empty file
+            empty = (unified or pa.schema([])).empty_table()
+            if OP_COL in empty.column_names:
+                empty = empty.drop_columns([OP_COL])
+            pq.write_table(empty, tmp)
+        os.replace(tmp, path)
+        return self._stats_row(table, bucket, n_in, clears, n_out, path, offsets)

@@ -110,3 +110,60 @@ class TestLakeEpochs:
             for r in ingest.read_lake_table(lake, "cdc_filechange").take_all()
         )
         assert state1 == state2
+
+
+class TestStreamingMerge:
+    def test_streaming_equals_inmemory(self, ray_session, sf_dir, tmp_path):
+        """Forcing the two-pass streaming merge (threshold=0) must produce
+        byte-identical final table state to the in-memory merge, across two
+        epochs (so the prior-state strict-domination path is exercised)."""
+        import pyarrow.compute as pc
+
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+        from kafka_connect_jdbc_flatten_ray.stages.merge import MergeToLake
+
+        def run(lake, threshold):
+            for _ in range(2):  # two epochs: second merges against prior
+                cfg = ingest.default_config()
+                plan = ingest.default_plan(cfg)
+                key_cols = {tp.table: tp.key_pk_cols for tp in plan.tables}
+                from kafka_connect_jdbc_flatten_ray.state.checkpoints import (
+                    CheckpointStore,
+                )
+                from kafka_connect_jdbc_flatten_ray.state.manifest import (
+                    TableManifest,
+                )
+
+                ck = CheckpointStore(f"{lake}/_checkpoints")
+                prev = ck.latest_epoch()
+                epoch = 0 if prev is None else prev + 1
+                prior_files = {}
+                for tp in plan.tables:
+                    for b, p in TableManifest(lake, tp.table).current_files().items():
+                        prior_files[(tp.table, b)] = p
+                events = ingest.event_stream(sf_dir)
+                env = ingest.flatten_envelopes(events, cfg)
+                stats = env.groupby(["table", "bucket"]).map_groups(
+                    MergeToLake(lake, epoch, key_cols, prior_files,
+                                stream_threshold_bytes=threshold),
+                    batch_format="pyarrow",
+                ).take_all()
+                bucket_files = {}
+                for r in stats:
+                    bucket_files.setdefault(r["table"], {})[r["bucket"]] = r["path"]
+                for t, files in bucket_files.items():
+                    TableManifest(lake, t).publish(epoch, files, {})
+                ck.save(epoch, {}, {})
+
+        lake_mem = str(tmp_path / "mem")
+        lake_str = str(tmp_path / "str")
+        run(lake_mem, 1 << 40)  # always in-memory
+        run(lake_str, 0)        # always streaming
+
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
+        from kafka_connect_jdbc_flatten_ray.pipelines.ingest import read_lake_table
+
+        for table in ("cdc_filechange", "cdc_filechange_lines", "cdc_filechange_attrs"):
+            a = read_lake_table(lake_mem, table)
+            b = read_lake_table(lake_str, table)
+            assert dataset_digest(a) == dataset_digest(b), table
