@@ -252,9 +252,13 @@ def run_epoch(
 
 
 def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
-    """Current state of a lake table, resolved through its manifest."""
+    """Current state of a lake table, resolved through its manifest.
+    ``lake_root`` may be a POSIX path or a pyarrow.fs URI."""
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    fs, _ = fsx.resolve(lake_root)
     files = TableManifest(lake_root, table).current_files()
-    ds = ray.data.read_parquet(sorted(files.values()))
+    ds = ray.data.read_parquet(sorted(files.values()), filesystem=fs)
     # drop internal order columns and the hive-inferred bucket= partition col
     drop = [c for c in (PART_COL, OFF_COL, "bucket") if c in ds.schema().names]
     return ds.drop_columns(drop)
@@ -291,7 +295,7 @@ def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:
     path = manifest.current_files().get(bucket)
     if path is None:
         return []
-    t = pq.read_table(path)
+    t = pq.read_table(path, filesystem=manifest.fs)
     mask = None
     for c, v in key_values.items():
         m = pc.equal(t.column(c), v)
@@ -308,12 +312,13 @@ def final_columns_table(t: pa.Table) -> list[dict]:
 
 def lake_status(lake_root: str) -> dict:
     """Manifest/lineage summary per table (epochs, rows, bucket counts)."""
-    import os
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
     out = {}
-    if not os.path.isdir(lake_root):
+    fs, root = fsx.resolve(lake_root)
+    if not fsx.exists(fs, root):
         return out
-    for table in sorted(os.listdir(lake_root)):
+    for table in sorted(i.base_name for i in fsx.listdir(fs, root) if i.is_file is False):
         m = TableManifest(lake_root, table).load()
         if m:
             out[table] = {
@@ -329,14 +334,17 @@ def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
     the last ``keep_epochs`` epochs. Each epoch's merge writes a full new
     bucket state, so old epoch files are pure history; the manifest swap
     keeps in-flight readers consistent."""
-    import os
     import re
 
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
     removed: dict[str, int] = {}
-    if not os.path.isdir(lake_root):
+    fs, root = fsx.resolve(lake_root)
+    if not fsx.exists(fs, root):
         return removed
     pat = re.compile(r"epoch-(\d+)\.parquet$")
-    for table in sorted(os.listdir(lake_root)):
+    for tinfo in fsx.listdir(fs, root):
+        table = tinfo.base_name
         manifest = TableManifest(lake_root, table)
         m = manifest.load()
         if not m:
@@ -344,16 +352,14 @@ def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
         referenced = set(m["buckets"].values())
         cutoff = m["epoch"] - keep_epochs + 1
         n = 0
-        tdir = os.path.join(lake_root, table)
-        for bucket_dir in os.listdir(tdir):
-            bdir = os.path.join(tdir, bucket_dir)
-            if not os.path.isdir(bdir):
+        tdir = fsx.join(root, table)
+        for binfo in fsx.listdir(fs, tdir):
+            if binfo.is_file:
                 continue
-            for f in os.listdir(bdir):
-                path = os.path.join(bdir, f)
-                match = pat.search(f)
-                if match and path not in referenced and int(match.group(1)) < cutoff:
-                    os.remove(path)
+            for finfo in fsx.listdir(fs, binfo.path):
+                match = pat.search(finfo.base_name)
+                if match and finfo.path not in referenced and int(match.group(1)) < cutoff:
+                    fsx.delete_file(fs, finfo.path)
                     n += 1
         removed[table] = n
     return removed

@@ -276,8 +276,11 @@ class MergeToLake:
         key_cols_by_table: dict[str, tuple[str, ...]],
         prior_files: dict[tuple[str, int], str] | None = None,
         stream_threshold_bytes: int = 1 << 30,
+        filesystem=None,
     ):
-        self.lake_root = lake_root
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+        self.fs, self.lake_root = fsx.resolve(lake_root, filesystem)
         self.epoch = epoch
         self.key_cols_by_table = key_cols_by_table
         self.prior_files = prior_files or {}
@@ -303,9 +306,11 @@ class MergeToLake:
         )
 
     def _out_path(self, table: str, bucket: int) -> str:
-        out_dir = os.path.join(self.lake_root, table, f"bucket={bucket:05d}")
-        os.makedirs(out_dir, exist_ok=True)
-        return os.path.join(out_dir, f"epoch-{self.epoch:06d}.parquet")
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+        out_dir = fsx.join(self.lake_root, table, f"bucket={bucket:05d}")
+        fsx.makedirs(self.fs, out_dir)
+        return fsx.join(out_dir, f"epoch-{self.epoch:06d}.parquet")
 
     def __call__(self, group: pa.Table) -> pa.Table:
         table = group.column("table")[0].as_py()
@@ -318,11 +323,13 @@ class MergeToLake:
             else len(p.as_py())
             for p in group.column("payload")
         )
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
         if prior_path:
-            est += os.path.getsize(prior_path) * 4  # parquet -> arrow blowup
+            est += fsx.file_size(self.fs, prior_path) * 4  # parquet->arrow blowup
         if est > self.stream_threshold_bytes:
             return self._merge_streaming(group, table, bucket, prior_path)
-        prior = pq.read_table(prior_path) if prior_path else None
+        prior = pq.read_table(prior_path, filesystem=self.fs) if prior_path else None
         if prior is not None:
             # lake rows are surviving inserts; restore their op for replay
             prior = prior.append_column(
@@ -347,10 +354,12 @@ class MergeToLake:
             full, self.key_cols_by_table.get(table, ()), n_new=new_ops.num_rows
         )
 
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
         path = self._out_path(table, bucket)
-        tmp = path + ".tmp"
-        pq.write_table(merged, tmp)
-        os.replace(tmp, path)  # atomic publish
+        staged = fsx.staging_path(self.fs, path)
+        pq.write_table(merged, staged, filesystem=self.fs)
+        fsx.publish_file(self.fs, staged, path)  # atomic publish
         return self._stats_row(
             table, bucket, n_in, clears, merged.num_rows, path, offsets
         )
@@ -367,7 +376,7 @@ class MergeToLake:
             for buf in payloads:
                 yield deserialize_ipc(buf.as_py()), False
             if prior_path:
-                pf = pq.ParquetFile(prior_path)
+                pf = pq.ParquetFile(self.fs.open_input_file(prior_path))
                 for rg in range(pf.metadata.num_row_groups):
                     t = pf.read_row_group(rg)
                     yield t.append_column(
@@ -413,8 +422,10 @@ class MergeToLake:
             if schemas else None
 
         # ---- pass 2: filter survivors per chunk, append via ParquetWriter ----
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
         path = self._out_path(table, bucket)
-        tmp = path + ".tmp"
+        tmp = fsx.staging_path(self.fs, path)
         n_out = 0
         writer = None
         try:
@@ -437,7 +448,7 @@ class MergeToLake:
                     chunk = chunk.filter(pa.array(keep))
                 chunk = chunk.drop_columns([OP_COL])
                 if writer is None:
-                    writer = pq.ParquetWriter(tmp, chunk.schema)
+                    writer = pq.ParquetWriter(tmp, chunk.schema, filesystem=self.fs)
                 n_out += chunk.num_rows
                 if chunk.num_rows:
                     writer.write_table(chunk)
@@ -448,6 +459,6 @@ class MergeToLake:
             empty = (unified or pa.schema([])).empty_table()
             if OP_COL in empty.column_names:
                 empty = empty.drop_columns([OP_COL])
-            pq.write_table(empty, tmp)
-        os.replace(tmp, path)
+            pq.write_table(empty, tmp, filesystem=self.fs)
+        fsx.publish_file(self.fs, tmp, path)
         return self._stats_row(table, bucket, n_in, clears, n_out, path, offsets)

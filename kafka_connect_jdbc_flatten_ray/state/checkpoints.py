@@ -7,30 +7,33 @@ JdbcSourceTask.java:113-194). Our analogue: one JSON file per checkpoint
 epoch recording, per kafka partition, the max applied offset; resume =
 filter the event log to ``offset > checkpoint[partition]``.
 
-Files are written tmp+rename (atomic) and are append-only per epoch, so a
-crashed run resumes from the last published epoch.
+Publishes are atomic per the filesystem's model (state/fs.py: tmp+rename
+locally, single-PUT on object stores); the root may be a POSIX path or a
+``pyarrow.fs`` URI.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
+
+from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
 
 class CheckpointStore:
-    def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+    def __init__(self, root: str, filesystem=None):
+        self.fs, self.root = fsx.resolve(root, filesystem)
+        fsx.makedirs(self.fs, self.root)
 
     def _path(self, epoch: int) -> str:
-        return os.path.join(self.root, f"checkpoint-{epoch:06d}.json")
+        return posixpath.join(self.root, f"checkpoint-{epoch:06d}.json")
 
     def latest_epoch(self) -> int | None:
-        epochs = [
-            int(f.split("-")[1].split(".")[0])
-            for f in os.listdir(self.root)
-            if f.startswith("checkpoint-") and f.endswith(".json")
-        ]
+        epochs = []
+        for info in fsx.listdir(self.fs, self.root):
+            name = info.base_name
+            if name.startswith("checkpoint-") and name.endswith(".json"):
+                epochs.append(int(name.split("-")[1].split(".")[0]))
         return max(epochs) if epochs else None
 
     def load(self, epoch: int | None = None) -> dict[int, int]:
@@ -39,8 +42,7 @@ class CheckpointStore:
             epoch = self.latest_epoch()
         if epoch is None:
             return {}
-        with open(self._path(epoch)) as f:
-            data = json.load(f)
+        data = json.loads(fsx.read_bytes(self.fs, self._path(epoch)))
         # dual-protocol restore (OffsetProtocols.java:37-59 analogue): V1
         # wraps offsets under a key; V0 is the bare {partition: offset} map
         offsets = data["offsets"] if "offsets" in data else data
@@ -48,12 +50,10 @@ class CheckpointStore:
 
     def save(self, epoch: int, offsets: dict[int, int], metrics: dict | None = None) -> str:
         path = self._path(epoch)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"epoch": epoch, "offsets": {str(k): int(v) for k, v in offsets.items()},
-                 "metrics": metrics or {}},
-                f, indent=1,
-            )
-        os.replace(tmp, path)
+        payload = json.dumps(
+            {"epoch": epoch, "offsets": {str(k): int(v) for k, v in offsets.items()},
+             "metrics": metrics or {}},
+            indent=1,
+        ).encode()
+        fsx.write_bytes_atomic(self.fs, path, payload)
         return path

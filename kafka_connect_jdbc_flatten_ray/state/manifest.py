@@ -8,24 +8,30 @@ clears applied, rows out).  Readers resolve current state through the
 manifest (not by globbing), so a half-written epoch is invisible until the
 manifest swap — this is the transaction boundary (W7,
 JdbcDbWriter.java:217-224).
+
+The lake root may be a POSIX path or a ``pyarrow.fs`` URI; publishes follow
+state/fs.py's atomicity model.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
+
+from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
 
 class TableManifest:
-    def __init__(self, lake_root: str, table: str):
-        self.dir = os.path.join(lake_root, table)
-        self.path = os.path.join(self.dir, "manifest.json")
+    def __init__(self, lake_root: str, table: str, filesystem=None):
+        self.fs, root = fsx.resolve(lake_root, filesystem)
+        self.dir = posixpath.join(root, table)
+        self.path = posixpath.join(self.dir, "manifest.json")
+        self.table = table
 
     def load(self) -> dict | None:
-        if not os.path.exists(self.path):
+        if not fsx.exists(self.fs, self.path):
             return None
-        with open(self.path) as f:
-            return json.load(f)
+        return json.loads(fsx.read_bytes(self.fs, self.path))
 
     def current_files(self) -> dict[int, str]:
         m = self.load()
@@ -52,15 +58,12 @@ class TableManifest:
         buckets = {int(b): p for b, p in prev["buckets"].items()}
         buckets.update(bucket_files)
         m = {
-            "table": os.path.basename(self.dir),
+            "table": self.table,
             "epoch": epoch,
             "schema": schema_str or prev.get("schema"),
             "partitioning": partitioning or prev.get("partitioning"),
             "buckets": {str(b): p for b, p in sorted(buckets.items())},
             "epochs": prev["epochs"] + [{"epoch": epoch, **stats}],
         }
-        os.makedirs(self.dir, exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self.path)
+        fsx.makedirs(self.fs, self.dir)
+        fsx.write_bytes_atomic(self.fs, self.path, json.dumps(m, indent=1).encode())
