@@ -318,6 +318,125 @@ ORACLE_ROOT_UPSERT_UPPERCASE = _uppercase_aliases(ORACLE_ROOT_UPSERT)
 
 
 # ---------------------------------------------------------------------------
+# Debezium binlog/WAL adapter end-to-end (SCALE.md roadmap item 4)
+# ---------------------------------------------------------------------------
+
+DEBEZIUM_FLAT_VT = None  # built lazily (pa import at module scope avoided)
+
+
+def _debezium_value_type():
+    import pyarrow as pa
+
+    return pa.struct(
+        [
+            pa.field("repo", pa.string()),
+            pa.field("path", pa.string()),
+            pa.field("commit_id", pa.string()),
+            pa.field("lang", pa.string()),
+            pa.field("version", pa.int32()),
+            pa.field("size", pa.int64()),
+        ]
+    )
+
+
+def _jsonify_debezium(t):
+    """documents batch -> Debezium envelope JSON strings, VECTORIZED via
+    string-concat kernels (fields are identifier-safe, no escaping needed):
+    one c/u event per version plus a d (delete) envelope for doc_id%7==0,
+    using the same partition/offset/ts derivations as cdc_gen."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lang = t.column("lang").to_pandas().to_numpy()
+    nchars = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    maxv = did % 3
+    # one row per (doc, version) + tombstone rows
+    reps = (maxv + 1) + (did % 7 == 0)
+    doc = np.repeat(did, reps)
+    base = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    v = np.arange(int(reps.sum()), dtype=np.int64) - base[np.repeat(
+        np.arange(len(did)), reps)]
+    is_tomb = v == (np.repeat(maxv, reps) + 1)
+    lang_r = np.repeat(lang, reps)
+    nchars_r = np.repeat(nchars, reps)
+    off = doc * 4 + v
+    ts = 1600000000000 + off * 1000
+    commit = (doc * 2654435761 + v) % 1000000007
+
+    def s(arr):
+        return pa.array(arr.astype(str) if arr.dtype != object else arr, pa.string())
+
+    row = pc.binary_join_element_wise(
+        pa.scalar('{"repo":"repo_'), s(doc % 20),
+        pa.scalar('","path":"src/doc_'), s(doc),
+        pa.scalar('.txt","commit_id":"c'), s(commit),
+        pa.scalar('","lang":"'), s(lang_r),
+        pa.scalar('","version":'), s(v),
+        pa.scalar(',"size":'), s(nchars_r + v),
+        pa.scalar("}"), "",
+    )
+    before = pc.if_else(pa.array(is_tomb), row, pa.scalar("null"))
+    after = pc.if_else(pa.array(is_tomb), pa.scalar("null"), row)
+    op = pc.if_else(pa.array(is_tomb), pa.scalar('"d"'), pa.scalar('"u"'))
+    env = pc.binary_join_element_wise(
+        pa.scalar('{"payload":{"before":'), before,
+        pa.scalar(',"after":'), after,
+        pa.scalar(',"op":'), op,
+        pa.scalar(',"ts_ms":'), s(ts),
+        pa.scalar("}}"), "",
+    )
+    return pa.table(
+        {
+            "topic": pa.array(["cdc"] * len(doc)),
+            "partition": pa.array((doc % 8).astype(np.int32)),
+            "offset": pa.array(off),
+            "json": env,
+        }
+    )
+
+
+def debezium_root_upsert(sf_dir: str) -> ray.data.Dataset:
+    """Full parity through the Debezium path: synthesize binlog envelopes
+    from documents, parse them with the vectorized adapter, then standard
+    flatten + last-wins merge of the root table."""
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.sources.debezium import DebeziumParser
+    from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan
+
+    vt = _debezium_value_type()
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    raw = docs.map_batches(_jsonify_debezium, batch_format="pyarrow")
+    events = raw.map_batches(
+        DebeziumParser(vt, ("repo", "path")), batch_format="pyarrow"
+    )
+    cfg = ingest.default_config()  # pk flatten on filechangekey.repo/path
+    kt = pa.struct([pa.field("repo", pa.string()), pa.field("path", pa.string())])
+    plan = build_plan(cfg, "cdc", vt, "filechange", kt, "filechangekey")
+    env = ingest.flatten_envelopes(
+        events, cfg, topic="cdc", value_schema_name="filechange",
+        key_schema_name="filechangekey",
+    )
+    return ingest.table_state(env, plan, "cdc_filechange")
+
+
+ORACLE_DEBEZIUM_ROOT_UPSERT = _D + """
+SELECT
+  repo AS filechangekey_repo,
+  path AS filechangekey_path,
+  repo, path,
+  'c' || ((doc_id * 2654435761 + maxv) % 1000000007) AS commit_id,
+  lang AS lang,
+  CAST(maxv AS INTEGER) AS version,
+  CAST(n_chars + maxv AS BIGINT) AS "size",
+""" + _COORDS.format(v="maxv") + "FROM d WHERE doc_id % 7 <> 0"
+
+
+# ---------------------------------------------------------------------------
 # Source-code table (input_hint shape)
 # ---------------------------------------------------------------------------
 
@@ -429,6 +548,7 @@ def cdc_queries() -> dict:
         "cdc_root_upsert_uppercase": cdc_root_upsert_uppercase,
         "cdc_root_upsert_evolved": cdc_root_upsert_evolved,
         "cdc_root_upsert_tz": cdc_root_upsert_tz,
+        "debezium_root_upsert": debezium_root_upsert,
         "cdc_lines_per_lang": cdc_lines_per_lang,
         "source_bulk": queriers.source_bulk,
         "source_incrementing": queriers.source_incrementing,
@@ -451,6 +571,7 @@ def cdc_oracles() -> dict:
         "cdc_root_upsert_uppercase": ORACLE_ROOT_UPSERT_UPPERCASE,
         "cdc_root_upsert_evolved": ORACLE_ROOT_UPSERT_EVOLVED,
         "cdc_root_upsert_tz": ORACLE_ROOT_UPSERT_TZ,
+        "debezium_root_upsert": ORACLE_DEBEZIUM_ROOT_UPSERT,
         "cdc_lines_per_lang": ORACLE_LINES_PER_LANG,
         "source_bulk": ORACLE_SOURCE_BULK,
         "source_incrementing": ORACLE_SOURCE_INCREMENTING,
