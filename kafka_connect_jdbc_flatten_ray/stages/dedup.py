@@ -368,26 +368,34 @@ def dedup_minhash_pairs_slim(
 
     attached = tagged.groupby("node").map_groups(_attach, batch_format="pandas")
 
-    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+    def _combine_star(df: pd.DataFrame) -> pd.DataFrame:
+        """Verify all pairs sharing one doc_a at once: the star signature
+        vs a stacked matrix of the partners' signatures."""
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                               "doc_b": pd.Series([], dtype="int64"),
                               "est_jaccard": pd.Series([], dtype="float64")})
-        a = df[df["side"] == 0]
-        b = df[df["side"] == 1]
-        if a.empty or b.empty:
+        aa = df[df["side"] == 0]
+        bb = df[df["side"] == 1]
+        if aa.empty or bb.empty:
             return empty
-        sa = np.frombuffer(a["blob"].iloc[0], dtype="<i8")
-        sb = np.frombuffer(b["blob"].iloc[0], dtype="<i8")
-        est = float((sa == sb).mean())
-        if est < threshold:
+        sa = np.frombuffer(aa["blob"].iloc[0], dtype="<i8")
+        bb = bb.sort_values("doc_b")
+        bb = bb[bb["doc_b"].isin(set(aa["doc_b"]))]
+        if bb.empty:
             return empty
+        mb = np.frombuffer(b"".join(bb["blob"]), dtype="<i8").reshape(len(bb), -1)
+        est = (mb == sa).mean(axis=1)
+        sel = est >= threshold
         return pd.DataFrame(
-            {"doc_a": [int(a["doc_a"].iloc[0])], "doc_b": [int(a["doc_b"].iloc[0])],
-             "est_jaccard": [est]}
+            {
+                "doc_a": np.full(int(sel.sum()), int(aa["doc_a"].iloc[0])),
+                "doc_b": bb["doc_b"].to_numpy()[sel],
+                "est_jaccard": est[sel],
+            }
         )
 
-    return attached.groupby(["doc_a", "doc_b"]).map_groups(
-        _combine, batch_format="pandas"
+    return attached.groupby("doc_a").map_groups(
+        _combine_star, batch_format="pandas"
     )
 
 
@@ -841,25 +849,37 @@ def dedup_embedding_pairs_slim(
 
     attached = tagged.groupby("node").map_groups(_attach, batch_format="pandas")
 
-    def _combine(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["side"] == 0]
-        b = df[df["side"] == 1]
-        if a.empty or b.empty:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64"),
-                                 "cos": pd.Series([], dtype="float64")})
-        ua = np.frombuffer(a["blob"].iloc[0], dtype="<f4")
-        ub = np.frombuffer(b["blob"].iloc[0], dtype="<f4")
-        cos = float(np.float64(0) + (ua.astype(np.float64) @ ub.astype(np.float64)))
-        if cos < threshold:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64"),
-                                 "cos": pd.Series([], dtype="float64")})
+    def _combine_star(df: pd.DataFrame) -> pd.DataFrame:
+        """Recombine all pairs sharing one vec_a (LSH stars share the
+        bucket minimum, so groups are large): one matrix-vector product
+        verifies every pair of the star at once."""
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cos": pd.Series([], dtype="float64")})
+        aa = df[df["side"] == 0]
+        bb = df[df["side"] == 1]
+        if aa.empty or bb.empty:
+            return empty
+        ua = np.frombuffer(aa["blob"].iloc[0], dtype="<f4").astype(np.float64)
+        bb = bb.sort_values("vec_b")
+        # one row per vec_b on each side; align b-side rows to a-side set
+        keep_b = bb["vec_b"].isin(set(aa["vec_b"]))
+        bb = bb[keep_b]
+        if bb.empty:
+            return empty
+        mb = np.frombuffer(
+            b"".join(bb["blob"]), dtype="<f4"
+        ).reshape(len(bb), -1).astype(np.float64)
+        cos = mb @ ua
+        sel = cos >= threshold
         return pd.DataFrame(
-            {"vec_a": [int(a["vec_a"].iloc[0])], "vec_b": [int(a["vec_b"].iloc[0])],
-             "cos": [cos]}
+            {
+                "vec_a": np.full(int(sel.sum()), int(aa["vec_a"].iloc[0])),
+                "vec_b": bb["vec_b"].to_numpy()[sel],
+                "cos": cos[sel],
+            }
         )
 
-    return attached.groupby(["vec_a", "vec_b"]).map_groups(
-        _combine, batch_format="pandas"
+    return attached.groupby("vec_a").map_groups(
+        _combine_star, batch_format="pandas"
     )
