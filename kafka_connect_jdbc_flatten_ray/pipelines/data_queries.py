@@ -153,6 +153,63 @@ FROM s
 """
 
 
+def q_model_quality_scores(sf_dir: str):
+    """Actor-pool batched inference (stub linear model; real weights-load
+    + batch plumbing). Exact oracle: the model is pure arithmetic."""
+    from kafka_connect_jdbc_flatten_ray.stages.inference import score_quality
+
+    return score_quality(_docs(sf_dir))
+
+
+ORACLE_MODEL_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         0.0003 * n_chars + 0.02 * n_tokens - 1.5 * punct_ratio + 0.1 AS z
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+       (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+FROM z
+"""
+
+
+def q_regex_token_count(sf_dir: str):
+    """BPE-ish regex token counting: words / digit runs / punctuation runs
+    counted with one vectorized count_substring_regex kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+    def _count(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = pc.count_substring_regex(text, pattern)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_regex_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return _docs(sf_dir).map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_REGEX_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_regex_tokens
+FROM documents
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """Composed training-data pipeline, fully distributed (nothing per-doc
     touches the driver): one pass computes quality metrics + content
@@ -419,6 +476,8 @@ def data_queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "corpus_prep": q_corpus_prep,
+        "model_quality_scores": q_model_quality_scores,
+        "regex_token_count": q_regex_token_count,
         "scrub_text": q_scrub_text,
         "sample_30pct": q_sample_30pct,
         "chunk_docs": q_chunk_docs,
@@ -446,6 +505,8 @@ def data_oracles() -> dict:
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,
+        "model_quality_scores": ORACLE_MODEL_QUALITY,
+        "regex_token_count": ORACLE_REGEX_TOKEN_COUNT,
         "scrub_text": ORACLE_SCRUB,
         "sample_30pct": ORACLE_SAMPLE,
         "chunk_docs": ORACLE_CHUNKS,
