@@ -191,10 +191,17 @@ def run_epoch(
     replicate: int = 1,
     concurrency=(2, 8),
     evolve_from: int | None = None,
+    mode: str = "cow",
 ) -> dict:
     """One ingest epoch: tail -> flatten -> merge -> commit. Resumable: a
     rerun skips events at/below the checkpoint and rewrites this epoch's
-    bucket files idempotently."""
+    bucket files idempotently.
+
+    ``mode="cow"`` (default) rewrites each touched bucket's full state;
+    ``mode="mor"`` writes only this epoch's ops as per-bucket DELTA files
+    (no prior-state read/rewrite — minimal write amplification) which the
+    read path replays through the same last-wins rule; fold deltas back
+    into bases with :func:`compact`."""
     cfg = cfg or default_config()
     plan = default_plan(cfg)
     key_cols = {tp.table: tp.key_pk_cols for tp in plan.tables}
@@ -214,7 +221,7 @@ def run_epoch(
     events = filter_after_checkpoint(events, offsets)
     env = flatten_envelopes(events, cfg, concurrency=concurrency)
     stats_ds = env.groupby(["table", "bucket"]).map_groups(
-        MergeToLake(lake_root, epoch, key_cols, prior_files),
+        MergeToLake(lake_root, epoch, key_cols, prior_files, mode=mode),
         batch_format="pyarrow",
     )
     stats = stats_ds.take_all()  # one small row per (table, bucket)
@@ -240,28 +247,154 @@ def run_epoch(
             if o > new_offsets.get(p, -1):
                 new_offsets[p] = int(o)
     for t, files in bucket_files.items():
-        TableManifest(lake_root, t).publish(
-            epoch, files, per_table[t],
-            partitioning={
-                "num_buckets": cfg.num_buckets,
-                "key_pk_cols": list(key_cols.get(t, ())),
-            },
-        )
+        part_info = {
+            "num_buckets": cfg.num_buckets,
+            "key_pk_cols": list(key_cols.get(t, ())),
+        }
+        if mode == "mor":
+            TableManifest(lake_root, t).publish(
+                epoch, {}, per_table[t], partitioning=part_info,
+                delta_files=files,
+            )
+        else:
+            TableManifest(lake_root, t).publish(
+                epoch, files, per_table[t], partitioning=part_info,
+            )
     ck.save(epoch, new_offsets, {"tables": per_table})
     return {"epoch": epoch, "tables": per_table, "offsets": new_offsets}
 
 
 def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
     """Current state of a lake table, resolved through its manifest.
-    ``lake_root`` may be a POSIX path or a pyarrow.fs URI."""
+    ``lake_root`` may be a POSIX path or a pyarrow.fs URI. Merge-on-read
+    deltas (if any) are replayed per bucket through the last-wins rule —
+    one distributed task per bucket, no driver materialization."""
     from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
     fs, _ = fsx.resolve(lake_root)
-    files = TableManifest(lake_root, table).current_files()
-    ds = ray.data.read_parquet(sorted(files.values()), filesystem=fs)
-    # drop internal order columns and the hive-inferred bucket= partition col
-    drop = [c for c in (PART_COL, OFF_COL, "bucket") if c in ds.schema().names]
-    return ds.drop_columns(drop)
+    manifest = TableManifest(lake_root, table)
+    files = manifest.current_files()
+    deltas = manifest.current_deltas()
+    if not deltas:
+        ds = ray.data.read_parquet(sorted(files.values()), filesystem=fs)
+        drop = [c for c in (PART_COL, OFF_COL, "bucket") if c in ds.schema().names]
+        return ds.drop_columns(drop)
+    m = manifest.load() or {}
+    key_pk_cols = tuple((m.get("partitioning") or {}).get("key_pk_cols", ()))
+    work = [
+        {"bucket": b, "base": files.get(b, ""),
+         "deltas": ";".join(deltas.get(b, []))}
+        for b in sorted(set(files) | set(deltas))
+    ]
+
+    def _replay(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from kafka_connect_jdbc_flatten_ray.stages.merge import (
+            final_columns,
+            last_wins,
+        )
+        from kafka_connect_jdbc_flatten_ray.stages.plan import OP_COL, OP_INSERT
+
+        out = []
+        for row in batch.to_pylist():
+            parts = []
+            n_new = 0
+            for dpath in [p for p in row["deltas"].split(";") if p]:
+                d = pq.read_table(dpath, filesystem=fs)
+                parts.append(d)
+                n_new += d.num_rows
+            if row["base"]:
+                base = pq.read_table(row["base"], filesystem=fs)
+                parts.append(base.append_column(
+                    OP_COL, pa.array([OP_INSERT] * base.num_rows, pa.string())
+                ))
+            if not parts:
+                continue
+            full = (pa.concat_tables(parts, promote_options="permissive")
+                    if len(parts) > 1 else parts[0])
+            out.append(final_columns(last_wins(full, key_pk_cols, n_new=n_new)))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="permissive")
+
+    src = ray.data.from_items(work)
+    return src.map_batches(_replay, batch_format="pyarrow", batch_size=1)
+
+
+def compact(lake_root: str, table: str) -> dict:
+    """Fold a merge-on-read table's deltas into fresh base files (one
+    distributed task per bucket), then publish a manifest with the deltas
+    cleared. Uses the same last-wins replay as the read path; vacuum()
+    afterwards reclaims the folded delta files."""
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    fs, root = fsx.resolve(lake_root)
+    manifest = TableManifest(lake_root, table)
+    m = manifest.load()
+    if not m:
+        return {"buckets": 0}
+    deltas = manifest.current_deltas()
+    if not deltas:
+        return {"buckets": 0}
+    files = manifest.current_files()
+    key_pk_cols = tuple((m.get("partitioning") or {}).get("key_pk_cols", ()))
+    epoch = int(m["epoch"]) + 1
+    work = [
+        {"bucket": b, "base": files.get(b, ""),
+         "deltas": ";".join(deltas.get(b, []))}
+        for b in sorted(set(files) | set(deltas))
+    ]
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from kafka_connect_jdbc_flatten_ray.stages.merge import last_wins
+        from kafka_connect_jdbc_flatten_ray.stages.plan import OP_COL, OP_INSERT
+
+        rows = []
+        for row in batch.to_pylist():
+            parts, n_new = [], 0
+            for dpath in [p for p in row["deltas"].split(";") if p]:
+                d = pq.read_table(dpath, filesystem=fs)
+                parts.append(d)
+                n_new += d.num_rows
+            if row["base"]:
+                base = pq.read_table(row["base"], filesystem=fs)
+                parts.append(base.append_column(
+                    OP_COL, pa.array([OP_INSERT] * base.num_rows, pa.string())
+                ))
+            if not parts:
+                continue
+            full = (pa.concat_tables(parts, promote_options="permissive")
+                    if len(parts) > 1 else parts[0])
+            merged = last_wins(full, key_pk_cols, n_new=n_new)
+            b = int(row["bucket"])
+            out_dir = fsx.join(root, table, f"bucket={b:05d}")
+            fsx.makedirs(fs, out_dir)
+            path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+            staged = fsx.staging_path(fs, path)
+            pq.write_table(merged, staged, filesystem=fs)
+            fsx.publish_file(fs, staged, path)
+            rows.append({"bucket": b, "path": path, "rows": merged.num_rows})
+        import pyarrow as _pa
+
+        if not rows:
+            return _pa.table({"bucket": _pa.array([], _pa.int64()),
+                              "path": _pa.array([], _pa.string()),
+                              "rows": _pa.array([], _pa.int64())})
+        return _pa.Table.from_pylist(rows)
+
+    res = ray.data.from_items(work).map_batches(
+        _fold, batch_format="pyarrow", batch_size=1
+    ).take_all()
+    bucket_files = {int(r["bucket"]): r["path"] for r in res}
+    manifest.publish(
+        epoch, bucket_files, {"compacted": True,
+                              "rows_out": int(sum(r["rows"] for r in res))},
+        clear_deltas=True,
+    )
+    return {"buckets": len(res), "epoch": epoch}
 
 
 def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:

@@ -277,6 +277,7 @@ class MergeToLake:
         prior_files: dict[tuple[str, int], str] | None = None,
         stream_threshold_bytes: int = 1 << 30,
         filesystem=None,
+        mode: str = "cow",
     ):
         from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
@@ -285,6 +286,9 @@ class MergeToLake:
         self.key_cols_by_table = key_cols_by_table
         self.prior_files = prior_files or {}
         self.stream_threshold_bytes = stream_threshold_bytes
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge mode must be cow|mor, got {mode}")
+        self.mode = mode
         self.__name__ = "MergeToLake"  # ray map_groups wants a fn-like name
 
     def _stats_row(self, table, bucket, n_in, clears, n_out, path, offsets):
@@ -312,9 +316,43 @@ class MergeToLake:
         fsx.makedirs(self.fs, out_dir)
         return fsx.join(out_dir, f"epoch-{self.epoch:06d}.parquet")
 
+    def _merge_mor(self, group: pa.Table, table: str, bucket: int) -> pa.Table:
+        """Merge-on-read epoch: write only this epoch's ops as a DELTA file
+        (surviving data rows + one compacted clear row per cleared key,
+        op/order columns retained) — no prior-state read or rewrite. The
+        read path replays base+deltas through the same last-wins rule; the
+        replay's order-insensitivity and idempotence are exactly what make
+        the delta representation correct."""
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+        key_cols = self.key_cols_by_table.get(table, ())
+        new_ops = concat_payloads(group)
+        part = new_ops.column(PART_COL).to_numpy(zero_copy_only=False)
+        off = new_ops.column(OFF_COL).to_numpy(zero_copy_only=False)
+        offsets: dict[int, int] = {}
+        for p in np.unique(part):
+            offsets[int(p)] = int(off[part == p].max())
+        n_in = new_ops.num_rows
+        op = new_ops.column(OP_COL).to_numpy(zero_copy_only=False)
+        clears = int((op != OP_INSERT).sum())
+        # local_prereduce collapses to: surviving data rows + max clear/key
+        delta = local_prereduce(new_ops, key_cols)
+        out_dir = fsx.join(self.lake_root, table, f"bucket={bucket:05d}")
+        fsx.makedirs(self.fs, out_dir)
+        path = fsx.join(out_dir, f"epoch-{self.epoch:06d}.delta.parquet")
+        staged = fsx.staging_path(self.fs, path)
+        pq.write_table(delta, staged, filesystem=self.fs)
+        fsx.publish_file(self.fs, staged, path)
+        n_data = int(
+            (delta.column(OP_COL).to_numpy(zero_copy_only=False) == OP_INSERT).sum()
+        )
+        return self._stats_row(table, bucket, n_in, clears, n_data, path, offsets)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         table = group.column("table")[0].as_py()
         bucket = group.column("bucket")[0].as_py()
+        if self.mode == "mor":
+            return self._merge_mor(group, table, bucket)
         prior_path = self.prior_files.get((table, bucket))
         # streaming trigger: estimated uncompressed group size (payload raw
         # sizes are in each container header; prior size from file metadata)

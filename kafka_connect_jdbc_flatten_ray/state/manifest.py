@@ -39,6 +39,13 @@ class TableManifest:
             return {}
         return {int(b): p for b, p in m["buckets"].items()}
 
+    def current_deltas(self) -> dict[int, list[str]]:
+        """Merge-on-read delta files per bucket (empty for pure-CoW lakes)."""
+        m = self.load()
+        if not m:
+            return {}
+        return {int(b): list(ps) for b, ps in (m.get("deltas") or {}).items()}
+
     def publish(
         self,
         epoch: int,
@@ -46,6 +53,8 @@ class TableManifest:
         stats: dict,
         schema_str: str | None = None,
         partitioning: dict | None = None,
+        delta_files: dict[int, str] | None = None,
+        clear_deltas: bool = False,
     ) -> None:
         """Atomic manifest swap: current state becomes the new epoch's files.
 
@@ -53,16 +62,25 @@ class TableManifest:
         rewrite scope — only buckets that saw ops are rewritten).
         ``partitioning`` records {num_buckets, key_pk_cols} at write time so
         readers (lake_lookup bucket pruning) never assume defaults.
+        ``delta_files`` (merge-on-read epochs) append per-bucket delta
+        files instead of replacing base files; ``clear_deltas`` (compaction)
+        drops all delta references after folding them into new bases.
         """
         prev = self.load() or {"buckets": {}, "epochs": []}
         buckets = {int(b): p for b, p in prev["buckets"].items()}
         buckets.update(bucket_files)
+        deltas = {int(b): list(ps) for b, ps in (prev.get("deltas") or {}).items()}
+        if clear_deltas:
+            deltas = {}
+        for b, p in (delta_files or {}).items():
+            deltas.setdefault(int(b), []).append(p)
         m = {
             "table": self.table,
             "epoch": epoch,
             "schema": schema_str or prev.get("schema"),
             "partitioning": partitioning or prev.get("partitioning"),
             "buckets": {str(b): p for b, p in sorted(buckets.items())},
+            "deltas": {str(b): ps for b, ps in sorted(deltas.items())},
             "epochs": prev["epochs"] + [{"epoch": epoch, **stats}],
         }
         fsx.makedirs(self.fs, self.dir)

@@ -92,3 +92,30 @@ class TestVacuumAndStatus:
         # current state still reads fine
         n = ingest.read_lake_table(lake, "cdc_filechange").count()
         assert n == 428
+
+
+class TestMergeOnRead:
+    def test_mor_epochs_match_cow_and_compact(self, ray_session, sf_dir, tmp_path):
+        """Two MoR epochs must read back identical to the CoW lake; after
+        compaction (deltas folded into fresh bases) the state digest is
+        unchanged and the deltas are cleared."""
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+        for lake, mode in ((cow, "cow"), (mor, "mor")):
+            ingest.run_epoch(sf_dir, lake, mode=mode)
+            ingest.run_epoch(sf_dir, lake, mode=mode)  # idempotent re-epoch
+        for table in ("cdc_filechange", "cdc_filechange_lines",
+                      "cdc_filechange_attrs"):
+            assert TableManifest(mor, table).current_deltas(), table
+            d_cow = dataset_digest(ingest.read_lake_table(cow, table))
+            d_mor = dataset_digest(ingest.read_lake_table(mor, table))
+            assert d_cow == d_mor, table
+        # compaction preserves state and clears deltas
+        res = ingest.compact(mor, "cdc_filechange")
+        assert res["buckets"] > 0
+        assert not TableManifest(mor, "cdc_filechange").current_deltas()
+        d_after = dataset_digest(ingest.read_lake_table(mor, "cdc_filechange"))
+        assert d_after == dataset_digest(ingest.read_lake_table(cow, "cdc_filechange"))
