@@ -251,14 +251,17 @@ def run_epoch(
             "num_buckets": cfg.num_buckets,
             "key_pk_cols": list(key_cols.get(t, ())),
         }
+        tp = next((x for x in plan.tables if x.table == t), None)
+        schema_str = str(tp.data_schema()) if tp is not None else None
         if mode == "mor":
             TableManifest(lake_root, t).publish(
                 epoch, {}, per_table[t], partitioning=part_info,
-                delta_files=files,
+                delta_files=files, schema_str=schema_str,
             )
         else:
             TableManifest(lake_root, t).publish(
                 epoch, files, per_table[t], partitioning=part_info,
+                schema_str=schema_str,
             )
     ck.save(epoch, new_offsets, {"tables": per_table})
     return {"epoch": epoch, "tables": per_table, "offsets": new_offsets}
