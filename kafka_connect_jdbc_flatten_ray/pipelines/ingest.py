@@ -478,7 +478,7 @@ def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
     fs, root = fsx.resolve(lake_root)
     if not fsx.exists(fs, root):
         return removed
-    pat = re.compile(r"epoch-(\d+)\.parquet$")
+    pat = re.compile(r"epoch-(\d+)(\.delta)?\.parquet$")
     for tinfo in fsx.listdir(fs, root):
         table = tinfo.base_name
         manifest = TableManifest(lake_root, table)
@@ -486,6 +486,8 @@ def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
         if not m:
             continue
         referenced = set(m["buckets"].values())
+        for ps in (m.get("deltas") or {}).values():
+            referenced.update(ps)
         cutoff = m["epoch"] - keep_epochs + 1
         n = 0
         tdir = fsx.join(root, table)

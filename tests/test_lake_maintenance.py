@@ -119,3 +119,28 @@ class TestMergeOnRead:
         assert not TableManifest(mor, "cdc_filechange").current_deltas()
         d_after = dataset_digest(ingest.read_lake_table(mor, "cdc_filechange"))
         assert d_after == dataset_digest(ingest.read_lake_table(cow, "cdc_filechange"))
+
+
+class TestVacuumReclaimsFoldedDeltas:
+    def test_deltas_removed_after_compact_and_vacuum(self, ray_session, sf_dir, tmp_path):
+        import glob
+
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        lake = str(tmp_path / "morv")
+        ingest.run_epoch(sf_dir, lake, mode="mor")
+        deltas_before = glob.glob(f"{lake}/cdc_filechange/bucket=*/*.delta.parquet")
+        assert deltas_before
+        ingest.compact(lake, "cdc_filechange")
+        # folded deltas are unreferenced and below the cutoff -> reclaimed
+        ingest.vacuum(lake, keep_epochs=1)
+        deltas_after = glob.glob(f"{lake}/cdc_filechange/bucket=*/*.delta.parquet")
+        assert deltas_after == []
+        # state unchanged
+        assert ingest.read_lake_table(lake, "cdc_filechange").count() == 428
+        # a LIVE (uncompacted) delta is never vacuumed
+        lake2 = str(tmp_path / "morv2")
+        ingest.run_epoch(sf_dir, lake2, mode="mor")
+        ingest.vacuum(lake2, keep_epochs=1)
+        assert glob.glob(f"{lake2}/cdc_filechange/bucket=*/*.delta.parquet")
+        assert ingest.read_lake_table(lake2, "cdc_filechange").count() == 428
