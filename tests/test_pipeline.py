@@ -167,3 +167,37 @@ class TestStreamingMerge:
             a = read_lake_table(lake_mem, table)
             b = read_lake_table(lake_str, table)
             assert dataset_digest(a) == dataset_digest(b), table
+
+
+class TestStreamingMergeEvolution:
+    def test_streaming_equals_inmemory_with_evolved_schemas(self, ray_session, sf_dir, tmp_path):
+        """Streaming two-pass merge must promote mixed payload schemas
+        (W5) identically to the in-memory concat path."""
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+        from kafka_connect_jdbc_flatten_ray.stages.merge import MergeToLake
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        def run(lake, threshold):
+            cfg = ingest.default_config()
+            plan = ingest.default_plan(cfg)
+            key_cols = {tp.table: tp.key_pk_cols for tp in plan.tables}
+            events = ingest.event_stream(sf_dir, evolve_from=1)  # mixed schemas
+            env = ingest.flatten_envelopes(events, cfg)
+            stats = env.groupby(["table", "bucket"]).map_groups(
+                MergeToLake(lake, 0, key_cols, {},
+                            stream_threshold_bytes=threshold),
+                batch_format="pyarrow",
+            ).take_all()
+            files = {}
+            for r in stats:
+                files.setdefault(r["table"], {})[r["bucket"]] = r["path"]
+            for t, f in files.items():
+                TableManifest(lake, t).publish(0, f, {})
+
+        mem, stream = str(tmp_path / "m"), str(tmp_path / "s")
+        run(mem, 1 << 40)
+        run(stream, 0)
+        for table in ("cdc_filechange", "cdc_filechange_lines"):
+            assert dataset_digest(ingest.read_lake_table(mem, table)) == \
+                dataset_digest(ingest.read_lake_table(stream, table)), table
