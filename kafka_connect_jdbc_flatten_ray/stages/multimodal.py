@@ -97,25 +97,41 @@ class DecodeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, off = _binary_parts(batch.column("media"))
         n = batch.num_rows
-        widths = np.empty(n, np.int32)
-        heights = np.empty(n, np.int32)
-        means = np.empty(n, np.float64)
-        hists = np.empty((n, 16), np.int64)
         hdr = len(MAGIC_IMG)
-        for i in range(n):
-            s, e = off[i], off[i + 1]
-            if bytes(flat[s:s + hdr]) != MAGIC_IMG:
-                if self._pil is None:
-                    raise NotImplementedError(
-                        "real image decode requires PIL (not in this container); "
-                        "only the FAKEIMG container format is supported"
-                    )
-                raise NotImplementedError("real-codec decode path not wired yet")
-            widths[i] = int.from_bytes(flat[s + hdr:s + hdr + 4], "little")
-            heights[i] = int.from_bytes(flat[s + hdr + 4:s + hdr + 8], "little")
-            px = flat[s + hdr + 8:e]
-            means[i] = px.mean() if len(px) else 0.0
-            hists[i] = np.bincount(px >> 4, minlength=16)
+        starts = off[:-1]
+        ends = off[1:]
+        # vectorized header validation: every payload must begin with MAGIC
+        magic = np.frombuffer(MAGIC_IMG, np.uint8)
+        idx = starts[:, None] + np.arange(hdr)
+        if n and not (flat[idx] == magic).all(axis=1).all():
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real image decode requires PIL (not in this container); "
+                    "only the FAKEIMG container format is supported"
+                )
+            raise NotImplementedError("real-codec decode path not wired yet")
+        # 4-byte LE fields gathered without a per-row loop
+        w_idx = starts[:, None] + hdr + np.arange(4)
+        h_idx = w_idx + 4
+        pow256 = (256 ** np.arange(4)).astype(np.int64)
+        widths = (flat[w_idx].astype(np.int64) @ pow256).astype(np.int32)
+        heights = (flat[h_idx].astype(np.int64) @ pow256).astype(np.int32)
+        # pixel stats via segment reductions over the flat buffer: gather
+        # indices computed with pure offset arithmetic (no per-row loop)
+        px_start = (starts + hdr + 8).astype(np.int64)
+        lens = (ends - px_start).astype(np.int64)
+        total_px = int(lens.sum())
+        parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+        base = np.concatenate(([0], np.cumsum(lens)[:-1])) if n else np.empty(0, np.int64)
+        gather = np.arange(total_px, dtype=np.int64) - base[parent] + px_start[parent]
+        px = flat[gather]
+        sums = np.zeros(n, np.int64)
+        np.add.at(sums, parent, px.astype(np.int64))
+        means = sums / np.maximum(lens, 1)
+        means[lens == 0] = 0.0
+        hists = np.bincount(
+            parent * 16 + (px >> 4), minlength=n * 16
+        ).reshape(n, 16).astype(np.int64)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -171,22 +187,30 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, off = _binary_parts(batch.column("media"))
         n = batch.num_rows
-        rms = np.empty(n, np.float64)
-        zc = np.empty(n, np.int64)
-        peak = np.empty(n, np.int64)
-        n_samples = np.empty(n, np.int64)
-        for i in range(n):
-            raw = flat[off[i]:off[i + 1]]
-            samples = raw[: len(raw) // 2 * 2].view(np.int16).astype(np.float64)
-            n_samples[i] = len(samples)
-            if len(samples) == 0:
-                rms[i] = 0.0
-                zc[i] = 0
-                peak[i] = 0
-                continue
-            rms[i] = float(np.sqrt(np.mean(samples**2)))
-            zc[i] = int(((samples[:-1] * samples[1:]) < 0).sum())
-            peak[i] = int(np.abs(samples).max())
+        starts = off[:-1].astype(np.int64)
+        lens = (off[1:] - off[:-1]).astype(np.int64) // 2 * 2  # whole s16 pairs
+        n_samples = lens // 2
+        total = int(n_samples.sum())
+        parent = np.repeat(np.arange(n, dtype=np.int64), n_samples)
+        base = np.concatenate(([0], np.cumsum(n_samples)[:-1])) if n else np.empty(0, np.int64)
+        pos = np.arange(total, dtype=np.int64) - base[parent]
+        lo_idx = starts[parent] + 2 * pos
+        # s16le sample = lo + 256*hi, sign-adjusted — gathered vectorized
+        s = flat[lo_idx].astype(np.int64) + 256 * flat[lo_idx + 1].astype(np.int64)
+        s = np.where(s >= 32768, s - 65536, s).astype(np.float64)
+        sq = np.zeros(n, np.float64)
+        np.add.at(sq, parent, s * s)
+        rms = np.sqrt(sq / np.maximum(n_samples, 1))
+        rms[n_samples == 0] = 0.0
+        # zero crossings: adjacent products within one clip only
+        zc = np.zeros(n, np.int64)
+        if total > 1:
+            same = parent[:-1] == parent[1:]
+            neg = (s[:-1] * s[1:]) < 0
+            np.add.at(zc, parent[:-1][same & neg], 1)
+        peak = np.zeros(n, np.int64)
+        if total:
+            np.maximum.at(peak, parent, np.abs(s).astype(np.int64))
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
