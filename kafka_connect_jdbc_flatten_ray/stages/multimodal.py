@@ -12,7 +12,9 @@ schemas, actor signatures, batch sizing, output layout — is real and tested:
 
 ``DecodeImage.__init__`` probes for PIL; with a real codec present the same
 stage decodes real images — the NotImplementedError marks exactly the
-stubbed seam. Large binary payloads => use small ``batch_size`` when
+stubbed seam. All three fake-container paths are fully VECTORIZED
+(gathered byte matrices + segment reductions over the flat buffer — no
+per-row Python). Large binary payloads => use small ``batch_size`` when
 mapping these stages (see batch-size notes in each class).
 """
 
@@ -154,28 +156,43 @@ class FrameSample:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, off = _binary_parts(batch.column("media"))
+        n = batch.num_rows
         hdr = len(MAGIC_VID)
-        ids, fidx, frames = [], [], []
+        starts = off[:-1].astype(np.int64)
         mid = batch.column("media_id").to_numpy(zero_copy_only=False)
-        for i in range(batch.num_rows):
-            s, e = off[i], off[i + 1]
-            if bytes(flat[s:s + hdr]) != MAGIC_VID:
-                raise NotImplementedError(
-                    "real video demux requires a codec library (not in this "
-                    "container); only the FAKEVID container format is supported"
-                )
-            n_frames = int.from_bytes(flat[s + hdr:s + hdr + 4], "little")
-            flen = int.from_bytes(flat[s + hdr + 4:s + hdr + 8], "little")
-            base = s + hdr + 8
-            for f in range(0, n_frames, self.every):
-                ids.append(mid[i])
-                fidx.append(f)
-                frames.append(bytes(flat[base + f * flen:base + (f + 1) * flen]))
+        magic = np.frombuffer(MAGIC_VID, np.uint8)
+        if n and not (flat[starts[:, None] + np.arange(hdr)] == magic).all():
+            raise NotImplementedError(
+                "real video demux requires a codec library (not in this "
+                "container); only the FAKEVID container format is supported"
+            )
+        pow256 = (256 ** np.arange(4)).astype(np.int64)
+        n_frames = flat[starts[:, None] + hdr + np.arange(4)].astype(np.int64) @ pow256
+        flen = flat[starts[:, None] + hdr + 4 + np.arange(4)].astype(np.int64) @ pow256
+        base = starts + hdr + 8
+        # sampled frames per video, all offset arithmetic (no per-row loop)
+        n_sampled = -(-n_frames // self.every)
+        total = int(n_sampled.sum())
+        vparent = np.repeat(np.arange(n, dtype=np.int64), n_sampled)
+        fbase = np.concatenate(([0], np.cumsum(n_sampled)[:-1])) if n else np.empty(0, np.int64)
+        fidx = (np.arange(total, dtype=np.int64) - fbase[vparent]) * self.every
+        frame_start = base[vparent] + fidx * flen[vparent]
+        frame_len = flen[vparent]
+        nbytes = int(frame_len.sum())
+        bparent = np.repeat(np.arange(total, dtype=np.int64), frame_len)
+        bbase = np.concatenate(([0], np.cumsum(frame_len)[:-1])) if total else np.empty(0, np.int64)
+        gather = np.arange(nbytes, dtype=np.int64) - bbase[bparent] + frame_start[bparent]
+        data = flat[gather].tobytes()
+        offsets = np.concatenate(([0], np.cumsum(frame_len))).astype(np.int64)
+        frames = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), total,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        )
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(fidx, pa.int32()),
-                "frame": pa.array(frames, pa.large_binary()),
+                "media_id": pa.array(mid[vparent], pa.int64()),
+                "frame_idx": pa.array(fidx.astype(np.int32)),
+                "frame": frames,
             }
         )
 
