@@ -17,8 +17,6 @@ The record key struct is assembled from configured fields of ``after``
 
 from __future__ import annotations
 
-import io
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -24,8 +24,6 @@ columns -> null), the Parquet analogue of ALTER TABLE ADD COLUMN
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
