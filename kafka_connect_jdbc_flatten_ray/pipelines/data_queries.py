@@ -362,6 +362,10 @@ def q_ann_ivf(sf_dir: str):
     return ann.ann_topk_ivf(sf_dir, k=5, num_queries=8)
 
 
+def q_ann_ivf_kmeans(sf_dir: str):
+    return ann.ann_topk_ivf(sf_dir, k=5, num_queries=8, train=True)
+
+
 def _media_ds(sf_dir: str, kind: str) -> ray.data.Dataset:
     """Deterministic fake media synthesized from documents (see
     stages/multimodal.py — codecs are stubbed, plumbing is real)."""
@@ -484,6 +488,7 @@ def data_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "ann_cosine_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
+        "ann_topk_ivf_kmeans": q_ann_ivf_kmeans,
         "media_image_decode": q_media_decode,
         "media_video_frames": q_video_frames,
         "media_audio_features": q_audio_features,

@@ -148,13 +148,31 @@ def ivf_centroids(sf_dir: str, num_centroids: int = 16) -> np.ndarray:
     return m[::step][:num_centroids]
 
 
+def ivf_centroids_trained(
+    sf_dir: str, num_centroids: int = 16, iters: int = 4
+) -> np.ndarray:
+    """IVF coarse centroids TRAINED with the distributed k-means
+    (stages/kmeans.py: broadcast centroids + per-batch partial-sum
+    combiner), seeded from the bounded row-group sample."""
+    from kafka_connect_jdbc_flatten_ray.stages.kmeans import kmeans_fit
+
+    init = ivf_centroids(sf_dir, num_centroids)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    cents, _ = kmeans_fit(ds, init.shape[1], num_centroids, iters=iters, init=init)
+    return cents
+
+
 def ann_topk_ivf(
     sf_dir: str, k: int = 5, num_queries: int = 8, num_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 4, train: bool = False,
 ) -> ray.data.Dataset:
     """IVF-bucketed ANN: search only the nprobe buckets nearest each query.
-    Approximate — recall measured against the brute-force baseline in tests."""
-    cents = ivf_centroids(sf_dir, num_centroids)
+    Approximate — recall measured against the brute-force baseline in tests.
+    ``train=True`` fits the coarse centroids with distributed k-means."""
+    cents = (
+        ivf_centroids_trained(sf_dir, num_centroids)
+        if train else ivf_centroids(sf_dir, num_centroids)
+    )
     q_ids, q_mat = load_queries(sf_dir, num_queries)
     probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]  # [Q, nprobe]
     cref = ray.put(cents)

@@ -163,3 +163,13 @@ class TestMinHashSlim:
         slim = {(r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 6)
                 for r in dedup.dedup_minhash_pairs_slim(docs_with_dups, 0.5).take_all()}
         assert dense == slim and (0, 1) in slim
+
+
+class TestIVFTrained:
+    def test_trained_centroids_full_recall_at_full_probe(self, ray_session, sf_dir):
+        bf = ann.ann_topk(sf_dir, k=3, num_queries=4).take_all()
+        ivf = ann.ann_topk_ivf(sf_dir, k=3, num_queries=4, nprobe=8,
+                               num_centroids=8, train=True).take_all()
+        bfs = {(r["query_id"], r["vec_id"]) for r in bf}
+        ivs = {(r["query_id"], r["vec_id"]) for r in ivf}
+        assert len(bfs & ivs) == len(bfs)
