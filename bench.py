@@ -103,6 +103,7 @@ def headline() -> dict:
 
 
 def run_queries() -> dict:
+    from kafka_connect_jdbc_flatten_ray.pipelines import data_queries as dq
     from kafka_connect_jdbc_flatten_ray.pipelines import queries as q
 
     timings = {}
@@ -118,6 +119,15 @@ def run_queries() -> dict:
     for name in sel:
         t0 = time.perf_counter()
         ds = qs[name](SF_DIR)
+        if hasattr(ds, "count"):
+            ds.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    # representative corpus operators (documents/embeddings tables)
+    dqs = dq.data_queries()
+    for name in ["dedup_exact", "chunk_docs", "dedup_minhash_pairs",
+                 "model_quality_scores", "ann_cosine_topk"]:
+        t0 = time.perf_counter()
+        ds = dqs[name](SF_DIR)
         if hasattr(ds, "count"):
             ds.count()
         timings[name] = round(time.perf_counter() - t0, 3)
