@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import default_pool
+
 from kafka_connect_jdbc_flatten_ray.stages import ann, dedup, textops
 
 
@@ -87,14 +89,14 @@ def q_token_count(sf_dir: str):
 def q_text_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(
         textops.QualityScore, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     )
 
 
 def q_lang_id(sf_dir: str):
     return _docs(sf_dir).map_batches(
         textops.LangId, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     )
 
 
@@ -276,7 +278,7 @@ def q_scrub_text(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages.scrub import ScrubText
 
     return _docs(sf_dir).map_batches(
-        ScrubText, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        ScrubText, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
     )
 
 
@@ -381,7 +383,7 @@ def q_media_decode(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages import multimodal as mm
 
     return _media_ds(sf_dir, "image").map_batches(
-        mm.DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+        mm.DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=default_pool()
     )
 
 
@@ -390,7 +392,7 @@ def q_video_frames(sf_dir: str):
 
     return _media_ds(sf_dir, "video").map_batches(
         mm.FrameSample, fn_constructor_args=(2,),
-        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=256, concurrency=default_pool(),
     ).map_batches(  # frame bytes are opaque; report sampled layout
         lambda t: t.select(["media_id", "frame_idx"]), batch_format="pyarrow"
     )
@@ -400,7 +402,7 @@ def q_audio_features(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages import multimodal as mm
 
     return _media_ds(sf_dir, "audio").map_batches(
-        mm.AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+        mm.AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=default_pool()
     )
 
 

@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import default_pool
+
 
 def _mat(emb_col) -> np.ndarray:
     emb = emb_col.combine_chunks() if isinstance(emb_col, pa.ChunkedArray) else emb_col
@@ -110,7 +112,7 @@ def ann_topk(
         fn_constructor_args=(qref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool(),
     )
     return partial.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
 
@@ -188,7 +190,7 @@ def ann_topk_ivf(
     )
     assigned = ds.map_batches(
         IVFAssign, fn_constructor_args=(cref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool(),
     )
 
     class ProbeTopK:
@@ -226,6 +228,6 @@ def ann_topk_ivf(
             )
 
     partial = assigned.map_batches(
-        ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
     )
     return partial.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")

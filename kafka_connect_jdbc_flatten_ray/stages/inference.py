@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import default_pool
+
 # the "published" model: weights over [n_chars, n_tokens, punct_ratio, 1]
 _WEIGHTS = (0.0003, 0.02, -1.5, 0.1)
 
@@ -66,10 +68,12 @@ class QualityModel:
         )
 
 
-def score_quality(docs: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+def score_quality(docs: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
     """Run the quality model as an actor pool (weights broadcast once)."""
     import ray
 
+    if concurrency is None:
+        concurrency = default_pool()  # resolved at call time, post-ray.init
     wref = ray.put(list(_WEIGHTS))
     return docs.map_batches(
         QualityModel,

@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import default_pool
+
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -100,7 +102,7 @@ def kmeans_fit(
         cref = ray.put(cents)
         partial = embeddings.map_batches(
             _AssignPartial, fn_constructor_args=(cref,),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool(),
         )
         rows = partial.take_all()  # <= k rows per batch (tiny model partials)
         counts = np.zeros(k, np.float64)

@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import default_pool
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONG_NUM_RE = r"[0-9]{6,}"
 
@@ -153,5 +155,5 @@ def contamination_check(
     ref = ray.put(_ngram_hash_array(benchmark_texts, n))
     return docs.map_batches(
         ContaminationCheck, fn_constructor_args=(ref, n),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool(),
     )
