@@ -220,20 +220,44 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Star-pattern candidate pairs within one LSH bucket with
-    signature-estimated Jaccard (linear in bucket size)."""
-    if len(group) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    g = group.sort_values("doc_id")
-    docs = g["doc_id"].to_numpy()
-    sigs = np.stack(g["sig"].to_numpy())
-    est = (sigs[0] == sigs[1:]).mean(axis=1)
-    return pd.DataFrame(
+NUM_LSH_SHARDS = 64
+
+
+def _sharded_bucket_pairs(group: pa.Table) -> pa.Table:
+    """Star-pattern candidate pairs for EVERY bucket in one (band, shard)
+    group, fully vectorized: sort by (band_hash, doc_id), find bucket
+    boundaries, compare each row's signature to its bucket head with one
+    matrix equality. One task call handles thousands of tiny buckets —
+    map_groups-per-bucket pays Ray+pandas overhead per bucket instead."""
+    n = group.num_rows
+    if n < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+    did = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, bh))
+    bh_s, did_s = bh[order], did[order]
+    sig = group.column("sig")
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    width = sig.type.list_size
+    sig_mat = sig.values.to_numpy(zero_copy_only=False).reshape(n, width)[order]
+    # bucket heads: first row of each distinct band_hash run
+    new_bucket = np.concatenate(([True], bh_s[1:] != bh_s[:-1]))
+    head_pos = np.flatnonzero(new_bucket)
+    head_of = head_pos[np.cumsum(new_bucket) - 1]  # per row: its bucket head
+    member = ~new_bucket  # every non-head row pairs with its head
+    if not member.any():
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    est = (sig_mat[member] == sig_mat[head_of[member]]).mean(axis=1)
+    return pa.table(
         {
-            "doc_a": np.full(len(docs) - 1, docs[0]),
-            "doc_b": docs[1:],
-            "est_jaccard": est,
+            "doc_a": pa.array(did_s[head_of[member]]),
+            "doc_b": pa.array(did_s[member]),
+            "est_jaccard": pa.array(est.astype(np.float64)),
         }
     )
 
@@ -242,12 +266,22 @@ def dedup_minhash_pairs(
     docs: ray.data.Dataset, threshold: float = 0.5, shingles: str = "word"
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs via MinHash-LSH, deduplicated across
-    bands and filtered by estimated Jaccard >= threshold."""
+    bands and filtered by estimated Jaccard >= threshold. Buckets are
+    processed in ``NUM_LSH_SHARDS`` vectorized shards per band (bounded
+    group size at any corpus scale; no per-bucket task overhead)."""
     rows = docs.map_batches(
         MinHashStage(shingles), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+
+    def _shard(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "shard", pa.array((bh % np.uint64(NUM_LSH_SHARDS)).astype(np.int32))
+        )
+
+    sharded = rows.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = sharded.groupby(["band_id", "shard"]).map_groups(
+        _sharded_bucket_pairs, batch_format="pyarrow"
     )
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"), threshold)),
@@ -310,18 +344,39 @@ def dedup_minhash_pairs_slim(
         MinHashStageSlim(shingles), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def _bucket_cands(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ids = np.sort(group["doc_id"].to_numpy())
-        return pd.DataFrame({"doc_a": np.full(len(ids) - 1, ids[0]), "doc_b": ids[1:]})
+    def _shard(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "shard", pa.array((bh % np.uint64(NUM_LSH_SHARDS)).astype(np.int32))
+        )
 
-    cand = rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_cands, batch_format="pandas"
-    )
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    def _sharded_cands(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bh))
+        bh_s, did_s = bh[order], did[order]
+        new_bucket = np.concatenate(([True], bh_s[1:] != bh_s[:-1]))
+        head_pos = np.flatnonzero(new_bucket)
+        head_of = head_pos[np.cumsum(new_bucket) - 1]
+        member = ~new_bucket
+        if not member.any():
+            return empty
+        return pa.table({"doc_a": pa.array(did_s[head_of[member]]),
+                         "doc_b": pa.array(did_s[member])})
+
+    cand = rows.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["band_id", "shard"]).map_groups(
+            _sharded_cands, batch_format="pyarrow"
+        )
+    # distinct pairs via hash aggregate (outputs feed map_batches, which
+    # skips ray 2.49's empty zero-schema blocks safely)
+    cand = cand.groupby(["doc_a", "doc_b"]).count().map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
     sigs = docs.map_batches(
         MinHashSignatures(shingles), batch_format="pyarrow", zero_copy_batch=True
@@ -743,14 +798,6 @@ class HyperplaneBucketIds(HyperplaneBucket):
         )
 
 
-def _star_candidates(group: pd.DataFrame) -> pd.DataFrame:
-    if len(group) < 2:
-        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                             "vec_b": pd.Series([], dtype="int64")})
-    ids = np.sort(group["vec_id"].to_numpy())
-    return pd.DataFrame({"vec_a": np.full(len(ids) - 1, ids[0]), "vec_b": ids[1:]})
-
-
 def dedup_embedding_pairs_slim(
     embeddings: ray.data.Dataset, dim: int, threshold: float = 0.9,
     num_planes: int = 10, num_tables: int = 8,
@@ -768,11 +815,38 @@ def dedup_embedding_pairs_slim(
         HyperplaneBucketIds(dim, num_planes, num_tables),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    cand = rows.groupby(["table_id", "bucket"]).map_groups(
-        _star_candidates, batch_format="pandas"
-    )
-    cand = cand.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+
+    def _shard(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((b % NUM_LSH_SHARDS).astype(np.int32))
+        )
+
+    def _sharded_cands(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        bh = group.column("bucket").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, bh))
+        bh_s, vid_s = bh[order], vid[order]
+        new_bucket = np.concatenate(([True], bh_s[1:] != bh_s[:-1]))
+        head_pos = np.flatnonzero(new_bucket)
+        head_of = head_pos[np.cumsum(new_bucket) - 1]
+        member = ~new_bucket
+        if not member.any():
+            return empty
+        return pa.table({"vec_a": pa.array(vid_s[head_of[member]]),
+                         "vec_b": pa.array(vid_s[member])})
+
+    cand = rows.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["table_id", "shard"]).map_groups(
+            _sharded_cands, batch_format="pyarrow"
+        )
+    cand = cand.groupby(["vec_a", "vec_b"]).count().map_batches(
+        lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow"
     )
 
     def _unit_rows(t: pa.Table) -> pa.Table:
