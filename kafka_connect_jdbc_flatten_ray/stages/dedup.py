@@ -642,35 +642,63 @@ class SimHashStage:
         return pa.table({k: pa.array(v) for k, v in out.items()})
 
 
-def _simhash_pairs(max_hamming: int):
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = group.sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()
-        sims = g["simhash"].to_numpy().astype(np.int64).view(U64)
-        x = sims[0] ^ sims[1:]
-        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.array(
-            [bin(int(v)).count("1") for v in x]
-        )
+def _sharded_simhash_pairs(max_hamming: int):
+    def fn(group: pa.Table) -> pa.Table:
+        """Star pairs for every pigeonhole bucket in one shard, hamming
+        verified vectorized (same sharding rationale as the MinHash path)."""
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        cv = group.column("chunk_val").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sim = group.column("simhash").to_numpy(zero_copy_only=False).astype(
+            np.int64).view(U64)
+        order = np.lexsort((did, cv))
+        cv_s, did_s, sim_s = cv[order], did[order], sim[order]
+        new_bucket = np.concatenate(([True], cv_s[1:] != cv_s[:-1]))
+        head_pos = np.flatnonzero(new_bucket)
+        head_of = head_pos[np.cumsum(new_bucket) - 1]
+        member = ~new_bucket
+        if not member.any():
+            return empty
+        x = sim_s[member] ^ sim_s[head_of[member]]
+        if hasattr(np, "bitwise_count"):
+            ham = np.bitwise_count(x).astype(np.int64)
+        else:
+            ham = np.zeros(len(x), np.int64)
+            v = x.copy()
+            while v.any():
+                ham += (v & U64(1)).astype(np.int64)
+                v >>= U64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.full(keep.sum(), docs[0]),
-                "doc_b": docs[1:][keep],
-                "hamming": ham[keep].astype(np.int64),
+                "doc_a": pa.array(did_s[head_of[member]][keep]),
+                "doc_b": pa.array(did_s[member][keep]),
+                "hamming": pa.array(ham[keep]),
             }
         )
 
-    fn.__name__ = "simhash_pairs"
+    fn.__name__ = "sharded_simhash_pairs"
     return fn
 
 
 def dedup_simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3):
     rows = docs.map_batches(SimHashStage(), batch_format="pyarrow", zero_copy_batch=True)
-    pairs = rows.groupby(["chunk_id", "chunk_val"]).map_groups(
-        _simhash_pairs(max_hamming), batch_format="pandas"
-    )
+
+    def _shard(t: pa.Table) -> pa.Table:
+        cv = t.column("chunk_val").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((cv % NUM_LSH_SHARDS).astype(np.int32))
+        )
+
+    pairs = rows.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["chunk_id", "shard"]).map_groups(
+            _sharded_simhash_pairs(max_hamming), batch_format="pyarrow"
+        )
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming").map_batches(
         lambda t: t.rename_columns(["doc_a", "doc_b", "hamming"]),
         batch_format="pyarrow",
