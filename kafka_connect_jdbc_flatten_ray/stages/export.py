@@ -65,6 +65,85 @@ def export_corpus(
     return manifest
 
 
+class _WritePartition:
+    """map_groups writer: one deterministic file per key-range partition,
+    written tmp+rename and SKIPPED when the final file already exists — a
+    failed run resumes by rewriting only the missing partitions."""
+
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+        self.__name__ = "write_partition"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+        part = int(group.column("__part")[0].as_py())
+        fs, root = fsx.resolve(self.data_dir)
+        fsx.makedirs(fs, root)
+        path = fsx.join(root, f"part-{part:05d}.parquet")
+        out = group.drop_columns(["__part"])
+        if fsx.exists(fs, path):
+            status = "skipped"
+        else:
+            staged = fsx.staging_path(fs, path)
+            pq.write_table(out, staged, filesystem=fs)
+            fsx.publish_file(fs, staged, path)
+            status = "written"
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "rows": pa.array([out.num_rows], pa.int64()),
+                "status": pa.array([status]),
+                "path": pa.array([path]),
+            }
+        )
+
+
+def export_corpus_partitioned(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key_col: str = "doc_id",
+    rows_per_part: int = 100_000,
+) -> dict:
+    """Resumable partitioned export: rows land in key-range partitions
+    (``key // rows_per_part``), each written as ONE deterministic file by a
+    distributed task that skips partitions already on disk — rerunning
+    after a crash redoes only the unfinished partitions. The manifest
+    (file list + per-partition rows + digest) is written last."""
+
+    def _assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__part", pa.array((keys // rows_per_part).astype(np.int64))
+        )
+
+    data_dir = os.path.join(out_dir, "data")
+    stats = (
+        ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_WritePartition(data_dir), batch_format="pyarrow")
+        .take_all()  # one row per partition
+    )
+    files = sorted(os.path.basename(r["path"]) for r in stats)
+    digest = dataset_digest(
+        ray.data.read_parquet([os.path.join(data_dir, f) for f in files])
+    )
+    manifest = {
+        "files": files,
+        "rows": int(digest.split(":")[1]),
+        "partitions": {int(r["part"]): int(r["rows"]) for r in stats},
+        "skipped": sorted(int(r["part"]) for r in stats if r["status"] == "skipped"),
+        "digest": digest,
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
 def verify_export(out_dir: str) -> bool:
     """Re-read the shards and check the manifest digest."""
     with open(os.path.join(out_dir, "manifest.json")) as f:

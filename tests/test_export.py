@@ -75,3 +75,28 @@ class TestStaleShardExclusion:
         assert "stale-leftover.parquet" not in manifest["files"]
         assert not os.path.exists(stale)
         assert export.verify_export(out)
+
+
+class TestPartitionedResume:
+    def test_skip_finished_partitions(self, ray_session, sf_dir, tmp_path):
+        import os
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        out = str(tmp_path / "pcorpus")
+        m1 = export.export_corpus_partitioned(docs, out, rows_per_part=100)
+        assert m1["rows"] == 500 and len(m1["files"]) == 5
+        assert m1["skipped"] == []
+        assert export.verify_export(out)
+        # crash simulation: one partition lost, manifest gone
+        lost = os.path.join(out, "data", m1["files"][2])
+        os.remove(lost)
+        os.remove(os.path.join(out, "manifest.json"))
+        mtimes = {f: os.path.getmtime(os.path.join(out, "data", f))
+                  for f in m1["files"] if f != m1["files"][2]}
+        m2 = export.export_corpus_partitioned(docs, out, rows_per_part=100)
+        assert m2["rows"] == 500
+        assert len(m2["skipped"]) == 4  # only the lost partition rewritten
+        for f, t in mtimes.items():
+            assert os.path.getmtime(os.path.join(out, "data", f)) == t, f
+        assert export.verify_export(out)
