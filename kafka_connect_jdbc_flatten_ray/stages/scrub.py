@@ -157,3 +157,106 @@ def contamination_check(
         ContaminationCheck, fn_constructor_args=(ref, n),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool(),
     )
+
+
+def contamination_check_distributed(
+    docs: ray.data.Dataset, benchmark: ray.data.Dataset, n: int = 8
+) -> ray.data.Dataset:
+    """Contamination against a benchmark CORPUS too large to broadcast:
+    both sides emit (ngram_hash, …) rows, a groupby on the hash marks doc
+    n-grams that any benchmark n-gram shares, and a per-doc sum aggregates
+    hit counts. Exchange = 8-byte hashes (never text); same union +
+    groupby shape as the dedup keep-set, so it is empty-block safe.
+    Output matches contamination_check for the same benchmark."""
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import _shingle_hashes_words
+    from ray.data.aggregate import Sum
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, parent = _shingle_hashes_words(text, k=n)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(ids[parent]),
+                "is_bench": pa.array(np.zeros(len(h), np.int8)),
+            }
+        )
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, _ = _shingle_hashes_words(text, k=n)
+        h = np.unique(h)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(np.full(len(h), -1, np.int64)),
+                "is_bench": pa.array(np.ones(len(h), np.int8)),
+            }
+        )
+
+    tagged = docs.map_batches(_doc_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        benchmark.map_batches(_bench_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def _mark(g: pa.Table) -> pa.Table:
+        """All rows of one shard of hashes: doc rows whose hash also has a
+        bench row become hits (vectorized via sorted membership)."""
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        isb = g.column("is_bench").to_numpy(zero_copy_only=False).astype(bool)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        bench_h = np.unique(h[isb])
+        doc_mask = ~isb
+        if not len(bench_h) or not doc_mask.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64())})
+        dh = h[doc_mask]
+        idx = np.searchsorted(bench_h, dh)
+        idx[idx >= len(bench_h)] = 0
+        hit = bench_h[idx] == dh
+        dd = did[doc_mask][hit]
+        if not len(dd):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64())})
+        uniq, counts = np.unique(dd, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq),
+                         "hits": pa.array(counts.astype(np.int64))})
+
+    def _shard(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(256)).astype(np.int32))
+        )
+
+    hits = (
+        tagged.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("hits", alias_name="ngram_hits"))
+    )
+    # attach zero-hit docs via the empty-block-safe union+groupby pattern
+    zeros = docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"),
+             "ngram_hits": pa.array(np.zeros(t.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    total = zeros.union(hits).groupby("doc_id").aggregate(
+        Sum("ngram_hits", alias_name="ngram_hits")
+    )
+    return total.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "contaminated": pc.greater(t.column("ngram_hits"), 0),
+                "ngram_hits": pc.cast(t.column("ngram_hits"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

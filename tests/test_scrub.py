@@ -61,3 +61,24 @@ class TestContamination:
         out = {r["doc_id"]: r["contaminated"]
                for r in scrub.contamination_check(docs, bench, n=8).take_all()}
         assert out == {0: False, 1: True, 2: False}
+
+
+class TestContaminationDistributed:
+    def test_matches_broadcast_variant(self, ray_session, sf_dir):
+        """The shuffle-based variant (benchmark as a Dataset, nothing
+        broadcast) must agree exactly with the broadcast-array variant."""
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        import duckdb
+
+        con = duckdb.connect()
+        bench_texts = [r[0] for r in con.execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE doc_id IN (3, 77)").fetchall()]
+        bcast = {r["doc_id"]: (r["contaminated"], r["ngram_hits"])
+                 for r in scrub.contamination_check(docs, bench_texts, n=8).take_all()}
+        bench_ds = ray.data.from_items([{"text": t} for t in bench_texts])
+        dist = {r["doc_id"]: (r["contaminated"], r["ngram_hits"])
+                for r in scrub.contamination_check_distributed(docs, bench_ds, n=8).take_all()}
+        assert bcast == dist
+        assert bcast[3][0] and bcast[77][0]  # planted docs flagged
