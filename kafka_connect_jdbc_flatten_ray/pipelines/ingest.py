@@ -400,6 +400,79 @@ def compact(lake_root: str, table: str) -> dict:
     return {"buckets": len(res), "epoch": epoch}
 
 
+def read_lake_table_at(lake_root: str, table: str, epoch: int) -> ray.data.Dataset:
+    """TIME-TRAVEL read: the table's state as of ``epoch``, reconstructed
+    from the bucket directories' epoch-stamped files (each CoW epoch writes
+    a full bucket state, so the as-of state of a bucket is its newest base
+    file with epoch <= N, plus any MoR delta files up to N replayed on
+    top). Requires the history to still exist — ``vacuum(keep_epochs=k)``
+    bounds how far back this can reach."""
+    import re
+
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    fs, root = fsx.resolve(lake_root)
+    m = TableManifest(lake_root, table).load() or {}
+    key_pk_cols = tuple((m.get("partitioning") or {}).get("key_pk_cols", ()))
+    pat = re.compile(r"epoch-(\d+)(\.delta)?\.parquet$")
+    tdir = fsx.join(root, table)
+    work = []
+    for binfo in fsx.listdir(fs, tdir):
+        if binfo.is_file:
+            continue
+        base_path, base_epoch = "", -1
+        deltas: list[tuple[int, str]] = []
+        for finfo in fsx.listdir(fs, binfo.path):
+            mt = pat.search(finfo.base_name)
+            if not mt or int(mt.group(1)) > epoch:
+                continue
+            e = int(mt.group(1))
+            if mt.group(2):  # delta file
+                deltas.append((e, finfo.path))
+            elif e > base_epoch:
+                base_epoch, base_path = e, finfo.path
+        live = sorted(p for e, p in deltas if e > base_epoch)
+        if base_path or live:
+            work.append({"bucket": binfo.base_name, "base": base_path,
+                         "deltas": ";".join(live)})
+    if not work:
+        return ray.data.from_items([])
+
+    def _replay(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from kafka_connect_jdbc_flatten_ray.stages.merge import (
+            final_columns,
+            last_wins,
+        )
+        from kafka_connect_jdbc_flatten_ray.stages.plan import OP_COL, OP_INSERT
+
+        out = []
+        for row in batch.to_pylist():
+            parts, n_new = [], 0
+            for dpath in [p for p in row["deltas"].split(";") if p]:
+                d = pq.read_table(dpath, filesystem=fs)
+                parts.append(d)
+                n_new += d.num_rows
+            if row["base"]:
+                base = pq.read_table(row["base"], filesystem=fs)
+                parts.append(base.append_column(
+                    OP_COL, pa.array([OP_INSERT] * base.num_rows, pa.string())
+                ))
+            if not parts:
+                continue
+            full = (pa.concat_tables(parts, promote_options="permissive")
+                    if len(parts) > 1 else parts[0])
+            out.append(final_columns(last_wins(full, key_pk_cols, n_new=n_new)))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="permissive")
+
+    return ray.data.from_items(work).map_batches(
+        _replay, batch_format="pyarrow", batch_size=1
+    )
+
+
 def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:
     """Point lookup by key-PK: bucket pruning reads ONE bucket file.
 
@@ -429,9 +502,28 @@ def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:
     h = pd.util.hash_pandas_object(df, index=False).to_numpy()
     bucket = int(h[0] % np.uint64(num_buckets))
     path = manifest.current_files().get(bucket)
-    if path is None:
+    deltas = manifest.current_deltas().get(bucket, [])
+    if path is None and not deltas:
         return []
-    t = pq.read_table(path, filesystem=manifest.fs)
+    if deltas:  # merge-on-read bucket: replay base + deltas for the lookup
+        from kafka_connect_jdbc_flatten_ray.stages.merge import last_wins
+        from kafka_connect_jdbc_flatten_ray.stages.plan import OP_COL, OP_INSERT
+
+        parts, n_new = [], 0
+        for dp in deltas:
+            d = pq.read_table(dp, filesystem=manifest.fs)
+            parts.append(d)
+            n_new += d.num_rows
+        if path:
+            base = pq.read_table(path, filesystem=manifest.fs)
+            parts.append(base.append_column(
+                OP_COL, pa.array([OP_INSERT] * base.num_rows, pa.string())
+            ))
+        full = (pa.concat_tables(parts, promote_options="permissive")
+                if len(parts) > 1 else parts[0])
+        t = last_wins(full, key_pk_cols, n_new=n_new)
+    else:
+        t = pq.read_table(path, filesystem=manifest.fs)
     mask = None
     for c, v in key_values.items():
         m = pc.equal(t.column(c), v)

@@ -144,3 +144,37 @@ class TestVacuumReclaimsFoldedDeltas:
         ingest.vacuum(lake2, keep_epochs=1)
         assert glob.glob(f"{lake2}/cdc_filechange/bucket=*/*.delta.parquet")
         assert ingest.read_lake_table(lake2, "cdc_filechange").count() == 428
+
+
+class TestTimeTravelAndMorLookup:
+    def test_read_at_epoch(self, ray_session, sf_dir, tmp_path):
+        """Epoch 0 = insert-only replica 1; epoch 1 ingests replica 2 (new
+        keys). read_lake_table_at(0) must show only epoch-0 state."""
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        lake = str(tmp_path / "tt")
+        ingest.run_epoch(sf_dir, lake, replicate=1)
+        n0 = ingest.read_lake_table(lake, "cdc_filechange").count()
+        ingest.run_epoch(sf_dir, lake, replicate=2)  # replica 2 arrives
+        n1 = ingest.read_lake_table(lake, "cdc_filechange").count()
+        assert n1 > n0  # replica 2's keyspace arrived
+        at0 = ingest.read_lake_table_at(lake, "cdc_filechange", 0).count()
+        at1 = ingest.read_lake_table_at(lake, "cdc_filechange", 1).count()
+        assert at0 == n0 and at1 == n1
+
+    def test_mor_point_lookup_replays_deltas(self, ray_session, sf_dir, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        lake = str(tmp_path / "morpl")
+        ingest.run_epoch(sf_dir, lake, mode="mor")
+        rows = ingest.lake_lookup(
+            lake, "cdc_filechange",
+            {"filechangekey_repo": "repo_1", "filechangekey_path": "src/doc_1.txt"},
+        )
+        assert len(rows) == 1 and rows[0]["version"] == 1
+        # deleted key resolves to nothing through the delta replay
+        gone = ingest.lake_lookup(
+            lake, "cdc_filechange",
+            {"filechangekey_repo": "repo_7", "filechangekey_path": "src/doc_7.txt"},
+        )
+        assert gone == []
