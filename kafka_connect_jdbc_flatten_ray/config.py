@@ -48,6 +48,11 @@ class SinkConfig:
 
     # --- sink surface ---
     pk_mode: str = "flatten"  # none | kafka | record_key | record_value | flatten
+    # W4/W5 (JdbcSinkConfig.java:124-141): disable to refuse creating
+    # missing tables / widening stored schemas (DbStructure.java:113-117,
+    # amendIfNecessary's auto.evolve error)
+    auto_create: bool = True
+    auto_evolve: bool = True
     pk_fields: tuple[str, ...] = ()
     insert_mode: str = "upsert"  # insert | upsert | update
     delete_enabled: bool = True

@@ -192,6 +192,7 @@ def run_epoch(
     concurrency=(2, 8),
     evolve_from: int | None = None,
     mode: str = "cow",
+    compact_after_deltas: int | None = None,
 ) -> dict:
     """One ingest epoch: tail -> flatten -> merge -> commit. Resumable: a
     rerun skips events at/below the checkpoint and rewrites this epoch's
@@ -205,6 +206,29 @@ def run_epoch(
     cfg = cfg or default_config()
     plan = default_plan(cfg)
     key_cols = {tp.table: tp.key_pk_cols for tp in plan.tables}
+
+    # W4/W5 config gates (DbStructure.java:113-117 + amendIfNecessary):
+    # refuse missing tables when auto.create is off, and schema WIDENING
+    # when auto.evolve is off — checked against the manifest's recorded
+    # schema before any merge work starts (fail fast, nothing written)
+    if not (cfg.auto_create and cfg.auto_evolve):
+        for tp in plan.tables:
+            m = TableManifest(lake_root, tp.table).load()
+            if m is None:
+                if not cfg.auto_create:
+                    raise ValueError(
+                        f"Table {tp.table} is missing and auto-creation is "
+                        "disabled (auto.create=false)"
+                    )
+                continue
+            if not cfg.auto_evolve and m.get("schema"):
+                want = str(tp.data_schema())
+                if m["schema"] != want:
+                    raise ValueError(
+                        f"Table {tp.table} requires schema changes but "
+                        "auto-evolution is disabled (auto.evolve=false): "
+                        f"stored schema differs from incoming"
+                    )
 
     ck = CheckpointStore(f"{lake_root}/_checkpoints")
     prev = ck.latest_epoch()
@@ -264,6 +288,13 @@ def run_epoch(
                 schema_str=schema_str,
             )
     ck.save(epoch, new_offsets, {"tables": per_table})
+    # MoR auto-compaction policy: fold deltas once any bucket accumulates
+    # more than the threshold (keeps read-time replay bounded)
+    if mode == "mor" and compact_after_deltas:
+        for t in bucket_files:
+            deltas = TableManifest(lake_root, t).current_deltas()
+            if deltas and max(len(v) for v in deltas.values()) >= compact_after_deltas:
+                compact(lake_root, t)
     return {"epoch": epoch, "tables": per_table, "offsets": new_offsets}
 
 

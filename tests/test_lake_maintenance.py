@@ -4,6 +4,7 @@ netting scenario (JdbcSinkTaskTestPostgresArrayDelete.java:993-1083)."""
 import os
 
 import pyarrow as pa
+import pytest
 
 from kafka_connect_jdbc_flatten_ray.config import SinkConfig
 from kafka_connect_jdbc_flatten_ray.pipelines import ingest
@@ -178,3 +179,50 @@ class TestTimeTravelAndMorLookup:
             {"filechangekey_repo": "repo_7", "filechangekey_path": "src/doc_7.txt"},
         )
         assert gone == []
+
+
+class TestAutoCreateEvolveGates:
+    def test_auto_create_disabled_refuses_new_table(self, ray_session, sf_dir, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        cfg = ingest.default_config(auto_create=False)
+        with pytest.raises(ValueError, match="auto-creation is disabled"):
+            ingest.run_epoch(sf_dir, str(tmp_path / "nc"), cfg=cfg)
+
+    def test_auto_evolve_disabled_refuses_schema_change(self, ray_session, sf_dir, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+        from kafka_connect_jdbc_flatten_ray.sources.cdc_gen import (
+            KEY_SCHEMA_NAME, KEY_TYPE, VALUE_SCHEMA_NAME, VALUE_TYPE_V2,
+        )
+        from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan
+
+        lake = str(tmp_path / "ne")
+        ingest.run_epoch(sf_dir, lake)  # v1 schema recorded in manifests
+        cfg2 = ingest.default_config(auto_evolve=False)
+        # simulate an evolved plan arriving: monkey-free — the evolved value
+        # schema yields a different root data schema, so the gate fires
+        import kafka_connect_jdbc_flatten_ray.pipelines.ingest as ing
+
+        orig = ing.default_plan
+        try:
+            ing.default_plan = lambda cfg, topic="cdc": build_plan(
+                cfg, topic, VALUE_TYPE_V2, VALUE_SCHEMA_NAME, KEY_TYPE, KEY_SCHEMA_NAME
+            )
+            with pytest.raises(ValueError, match="auto-evolution is disabled"):
+                ingest.run_epoch(sf_dir, lake, cfg=cfg2)
+        finally:
+            ing.default_plan = orig
+        # with evolution enabled the same epoch commits
+        ingest.run_epoch(sf_dir, lake, cfg=ingest.default_config(),
+                         evolve_from=1)
+
+    def test_mor_auto_compaction(self, ray_session, sf_dir, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        lake = str(tmp_path / "ac")
+        ingest.run_epoch(sf_dir, lake, replicate=1, mode="mor",
+                         compact_after_deltas=1)
+        # threshold 1 -> compacted immediately: no deltas remain
+        assert not TableManifest(lake, "cdc_filechange").current_deltas()
+        assert ingest.read_lake_table(lake, "cdc_filechange").count() == 428
