@@ -755,26 +755,54 @@ class HyperplaneBucket:
         )
 
 
-def _cosine_pairs(threshold: float):
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
-        g = group.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        cos = sims[iu]
-        keep = cos >= threshold
-        return pd.DataFrame(
+def _sharded_cosine_pairs(threshold: float):
+    def fn(group: pa.Table) -> pa.Table:
+        """All-pairs cosine for EVERY bucket in one (table, shard) group:
+        one task sorts by (bucket, vec_id) and runs one small matmul per
+        bucket SEGMENT — a plain loop over segments inside the task, never
+        a Ray/pandas round-trip per bucket."""
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        bh = group.column("bucket").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        vec = group.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        width = vec.type.list_size
+        mat = vec.values.to_numpy(zero_copy_only=False).reshape(n, width)
+        order = np.lexsort((vid, bh))
+        bh_s, vid_s, mat_s = bh[order], vid[order], mat[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(bh_s[1:] != bh_s[:-1]) + 1, [n])
+        )
+        out_a, out_b, out_c = [], [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            if s1 - s0 < 2:
+                continue
+            m = mat_s[s0:s1]
+            sims = m @ m.T
+            iu = np.triu_indices(s1 - s0, k=1)
+            cos = sims[iu]
+            keep = cos >= threshold
+            if keep.any():
+                out_a.append(vid_s[s0:s1][iu[0][keep]])
+                out_b.append(vid_s[s0:s1][iu[1][keep]])
+                out_c.append(cos[keep].astype(np.float64))
+        if not out_a:
+            return empty
+        return pa.table(
             {
-                "vec_a": ids[iu[0][keep]],
-                "vec_b": ids[iu[1][keep]],
-                "cos": cos[keep].astype(np.float64),
+                "vec_a": pa.array(np.concatenate(out_a)),
+                "vec_b": pa.array(np.concatenate(out_b)),
+                "cos": pa.array(np.concatenate(out_c)),
             }
         )
 
-    fn.__name__ = "cosine_pairs"
+    fn.__name__ = "sharded_cosine_pairs"
     return fn
 
 
@@ -786,9 +814,17 @@ def dedup_embedding_pairs(
         HyperplaneBucket(dim, num_planes, num_tables),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs = rows.groupby(["table_id", "bucket"]).map_groups(
-        _cosine_pairs(threshold), batch_format="pandas"
-    )
+
+    def _shard(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((b % NUM_LSH_SHARDS).astype(np.int32))
+        )
+
+    pairs = rows.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["table_id", "shard"]).map_groups(
+            _sharded_cosine_pairs(threshold), batch_format="pyarrow"
+        )
     return pairs.groupby(["vec_a", "vec_b"]).max("cos").map_batches(
         lambda t: t.rename_columns(["vec_a", "vec_b", "cos"]),
         batch_format="pyarrow",
