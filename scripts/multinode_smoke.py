@@ -1,0 +1,63 @@
+"""Virtual multi-NODE smoke: the same ingest epoch on a simulated 4-node
+Ray cluster (ray.cluster_utils.Cluster) — exercises cross-node object
+transfer and scheduling that single-node local mode cannot, catching
+node-locality assumptions before a real `ray job submit` deployment.
+
+    python scripts/multinode_smoke.py [--nodes 4] [--cpus-per-node 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=4)
+    ap.add_argument("--cpus-per-node", type=int, default=8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=1000)
+    args = ap.parse_args()
+
+    import ray
+    from ray.cluster_utils import Cluster
+
+    cluster = Cluster()
+    for _ in range(args.nodes):
+        cluster.add_node(num_cpus=args.cpus_per_node, include_dashboard=False)
+    ray.init(address=cluster.address, logging_level="ERROR")
+    print(json.dumps({"nodes": len(ray.nodes()),
+                      "cpus": ray.cluster_resources().get("CPU")}))
+
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+    lake = tempfile.mkdtemp(prefix="multinode_lake_")
+    t0 = time.perf_counter()
+    r = ingest.run_epoch(args.sf_dir, lake, replicate=args.replicate)
+    sec = time.perf_counter() - t0
+    n = ingest.read_lake_table(lake, "cdc_filechange").count()
+    events = sum(v["rows_in"] for v in r["tables"].values())
+    print(json.dumps({
+        "sec": round(sec, 1),
+        "root_rows": n,
+        "events_per_sec": round(10714 * args.replicate / sec, 1),
+    }))
+    ray.shutdown()
+    cluster.shutdown()
+
+
+if __name__ == "__main__":
+    main()
