@@ -47,6 +47,9 @@ class SinkConfig:
     pk_propagate_value_fields: tuple[str, ...] = ()
 
     # --- sink surface ---
+    # destination naming for the legacy sink (JdbcSinkConfig.java:89-96,
+    # JdbcDbWriter.java:232-242): '${topic}' expands to the record's topic
+    table_name_format: str = "${topic}"
     pk_mode: str = "flatten"  # none | kafka | record_key | record_value | flatten
     # W4/W5 (JdbcSinkConfig.java:124-141): disable to refuse creating
     # missing tables / widening stored schemas (DbStructure.java:113-117,

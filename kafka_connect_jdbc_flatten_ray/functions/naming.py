@@ -53,3 +53,16 @@ def table_name(cfg: SinkConfig, topic: str, flat_schema_name: str) -> str:
     if renamed is not None:
         return renamed.upper() if cfg.uppercase else renamed.lower()
     return full.upper() if cfg.uppercase else full.lower()
+
+
+def destination_table(cfg: SinkConfig, topic: str) -> str:
+    """Legacy-sink destination table name (JdbcDbWriter.java:232-242):
+    table.name.format with '${topic}' expanded; empty result is a
+    configuration error exactly as the reference raises."""
+    name = cfg.table_name_format.replace("${topic}", topic)
+    if not name:
+        raise ValueError(
+            f"Destination table name for topic '{topic}' is empty using "
+            f"the format string '{cfg.table_name_format}'"
+        )
+    return name.upper() if cfg.uppercase else name.lower()

@@ -273,3 +273,23 @@ def passthrough_table(
         lambda t: t.drop_columns([c for c in ("__bucket",) if c in t.column_names]),
         batch_format="pyarrow",
     )
+
+
+def passthrough_to_lake(
+    events: ray.data.Dataset,
+    cfg: SinkConfig,
+    lake_root: str,
+    topic: str = "t",
+    num_buckets: int = 16,
+    initial: ray.data.Dataset | None = None,
+) -> tuple[str, dict]:
+    """Write the legacy sink's final table state into the lake under its
+    table.name.format-resolved name (JdbcDbWriter.destinationTable
+    analogue), with the sharded-export manifest for verification."""
+    from kafka_connect_jdbc_flatten_ray.functions.naming import destination_table
+    from kafka_connect_jdbc_flatten_ray.stages.export import export_corpus
+
+    name = destination_table(cfg, topic)
+    state = passthrough_table(events, cfg, num_buckets, initial=initial)
+    manifest = export_corpus(state, f"{lake_root}/{name}")
+    return name, manifest

@@ -215,3 +215,48 @@ class TestUpdateModeAndValidation:
             passthrough_table(
                 ray.data.from_arrow(self._events_with_tombstone()), cfg
             )
+
+
+class TestTableNameFormat:
+    def test_format_expansion_and_error(self):
+        from kafka_connect_jdbc_flatten_ray.functions.naming import destination_table
+
+        cfg = SinkConfig(flatten=False, pk_mode="none", insert_mode="insert",
+                         delete_enabled=False, table_name_format="kafka_${topic}_v1")
+        assert destination_table(cfg, "orders") == "kafka_orders_v1"
+        up = SinkConfig(flatten=False, pk_mode="none", insert_mode="insert",
+                        delete_enabled=False, uppercase=True)
+        assert destination_table(up, "orders") == "ORDERS"
+        bad = SinkConfig(flatten=False, pk_mode="none", insert_mode="insert",
+                         delete_enabled=False, table_name_format="")
+        with pytest.raises(ValueError, match="is empty using the format"):
+            destination_table(bad, "orders")
+
+    def test_passthrough_to_lake_writes_named_table(self, ray_session, tmp_path):
+        import os
+
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import (
+            passthrough_to_lake,
+        )
+
+        vt = pa.struct([pa.field("id", pa.int64()), pa.field("v", pa.string())])
+        kt = pa.struct([pa.field("id", pa.int64())])
+        events = pa.table({
+            "topic": pa.array(["orders"] * 2),
+            "partition": pa.array([0, 0], pa.int32()),
+            "offset": pa.array([0, 1], pa.int64()),
+            "timestamp": pa.array([0, 0], pa.timestamp("ms")),
+            "timestamp_type": pa.array(["CreateTime"] * 2),
+            "key": pa.array([{"id": 1}, {"id": 1}], kt),
+            "value": pa.array([{"id": 1, "v": "a"}, {"id": 1, "v": "b"}], vt),
+        })
+        cfg = SinkConfig(flatten=False, pk_mode="record_key", pk_fields=("id",),
+                         insert_mode="upsert", delete_enabled=False,
+                         table_name_format="sink_${topic}")
+        name, manifest = passthrough_to_lake(
+            ray.data.from_arrow(events), cfg, str(tmp_path), topic="orders")
+        assert name == "sink_orders"
+        assert manifest["rows"] == 1
+        assert os.path.isdir(os.path.join(tmp_path, "sink_orders", "data"))
