@@ -232,13 +232,23 @@ def run_epoch(
 
     ck = CheckpointStore(f"{lake_root}/_checkpoints")
     prev = ck.latest_epoch()
-    epoch = 0 if prev is None else prev + 1
-    offsets = ck.load()
+    # Epoch numbers are allocated from BOTH the checkpoint store and the
+    # table manifests: compact() advances a table's manifest epoch without
+    # writing a checkpoint, so numbering from the checkpoint alone would
+    # reuse the compaction's epoch for the next ingest delta (and
+    # read_lake_table_at's `e > base_epoch` filter would then drop it).
+    epoch = -1 if prev is None else prev
 
     prior_files: dict[tuple[str, int], str] = {}
     for tp in plan.tables:
-        for b, path in TableManifest(lake_root, tp.table).current_files().items():
+        man = TableManifest(lake_root, tp.table)
+        m = man.load()
+        if m:
+            epoch = max(epoch, int(m["epoch"]))
+        for b, path in man.current_files().items():
             prior_files[(tp.table, b)] = path
+    epoch += 1
+    offsets = ck.load()
 
     events = event_stream(sf_dir, num_partitions, True, replicate,
                           evolve_from=evolve_from)

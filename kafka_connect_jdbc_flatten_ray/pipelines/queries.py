@@ -495,11 +495,19 @@ def source_multi_table(sf_dir: str) -> ray.data.Dataset:
     for spec in specs:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(spec.path).metadata
+        pf = pq.ParquetFile(spec.path)
+        md = pf.metadata
         idx = md.schema.to_arrow_schema().get_field_index(spec.inc_col)
-        mins = [md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups)]
-        maxs = [md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups)]
-        offsets[spec.name] = (min(mins) + max(maxs)) // 2
+        stats = [md.row_group(r).column(idx).statistics for r in range(md.num_row_groups)]
+        if any(st is None or not st.has_min_max for st in stats):
+            import pyarrow.compute as pc  # stats absent: one-column scan
+
+            col = pf.read(columns=[spec.inc_col]).column(spec.inc_col)
+            lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+        else:
+            lo = min(st.min for st in stats)
+            hi = max(st.max for st in stats)
+        offsets[spec.name] = (lo + hi) // 2
     return tail_tables(specs, offsets, max_tasks=2)
 
 

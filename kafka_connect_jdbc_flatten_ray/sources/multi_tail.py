@@ -67,13 +67,21 @@ class MultiTableOffsets:
 
 def _stats_max(path: str, col: str) -> int | None:
     """Max of an incrementing column from Parquet row-group stats (no data
-    read) — how the tail learns the new offset to commit."""
-    md = pq.ParquetFile(path).metadata
+    read) — how the tail learns the new offset to commit. Files written
+    without column statistics fall back to scanning just that column."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     idx = md.schema.to_arrow_schema().get_field_index(col)
-    maxs = [
-        md.row_group(rg).column(idx).statistics.max
-        for rg in range(md.num_row_groups)
-    ]
+    maxs = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            t = pf.read(columns=[col])  # stats absent: one-column scan
+            import pyarrow.compute as pc
+
+            v = pc.max(t.column(col)).as_py()
+            return int(v) if v is not None else None
+        maxs.append(st.max)
     return max(maxs) if maxs else None
 
 

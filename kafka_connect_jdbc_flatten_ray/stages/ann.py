@@ -17,13 +17,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from kafka_connect_jdbc_flatten_ray.util import default_pool
+from kafka_connect_jdbc_flatten_ray.util import default_pool, fsl_to_numpy
 
 
 def _mat(emb_col) -> np.ndarray:
-    emb = emb_col.combine_chunks() if isinstance(emb_col, pa.ChunkedArray) else emb_col
-    flat = emb.values.to_numpy(zero_copy_only=False)
-    return np.asarray(flat, dtype=np.float32).reshape(len(emb), -1)
+    return fsl_to_numpy(emb_col, np.float32)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

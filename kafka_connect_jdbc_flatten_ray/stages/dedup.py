@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import fsl_to_numpy
+
 U64 = np.uint64
 _A = U64(0x9E3779B97F4A7C15)
 _B = U64(0xC2B2AE3D27D4EB4F)
@@ -238,11 +240,7 @@ def _sharded_bucket_pairs(group: pa.Table) -> pa.Table:
     did = group.column("doc_id").to_numpy(zero_copy_only=False)
     order = np.lexsort((did, bh))
     bh_s, did_s = bh[order], did[order]
-    sig = group.column("sig")
-    if isinstance(sig, pa.ChunkedArray):
-        sig = sig.combine_chunks()
-    width = sig.type.list_size
-    sig_mat = sig.values.to_numpy(zero_copy_only=False).reshape(n, width)[order]
+    sig_mat = fsl_to_numpy(group.column("sig"))[order]
     # bucket heads: first row of each distinct band_hash run
     new_bucket = np.concatenate(([True], bh_s[1:] != bh_s[:-1]))
     head_pos = np.flatnonzero(new_bucket)
@@ -316,10 +314,7 @@ class MinHashSignatures(MinHashStage):
         full = super().__call__(batch)
         n = batch.num_rows
         first_band = full.slice(0, n)  # identical sig in every band row
-        sig = first_band.column("sig")
-        if isinstance(sig, pa.ChunkedArray):
-            sig = sig.combine_chunks()
-        flat = sig.values.to_numpy(zero_copy_only=False).astype("<i8").tobytes()
+        flat = fsl_to_numpy(first_band.column("sig"), "<i8").tobytes()
         width = NUM_PERM * 8
         return pa.table(
             {
@@ -726,12 +721,7 @@ class HyperplaneBucket:
         ).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(
-            len(emb), -1
-        )
+        mat = fsl_to_numpy(batch.column("embedding"))
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = (mat / np.maximum(norms, 1e-12)).astype(np.float32)
         n = len(unit)
@@ -769,11 +759,7 @@ def _sharded_cosine_pairs(threshold: float):
             return empty
         bh = group.column("bucket").to_numpy(zero_copy_only=False)
         vid = group.column("vec_id").to_numpy(zero_copy_only=False)
-        vec = group.column("vec")
-        if isinstance(vec, pa.ChunkedArray):
-            vec = vec.combine_chunks()
-        width = vec.type.list_size
-        mat = vec.values.to_numpy(zero_copy_only=False).reshape(n, width)
+        mat = fsl_to_numpy(group.column("vec"))
         order = np.lexsort((vid, bh))
         bh_s, vid_s, mat_s = bh[order], vid[order], mat[order]
         bounds = np.concatenate(
@@ -837,12 +823,7 @@ class HyperplaneBucketIds(HyperplaneBucket):
     vector replicated once per table (8x dim floats)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(
-            len(emb), -1
-        )
+        mat = fsl_to_numpy(batch.column("embedding"))
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = (mat / np.maximum(norms, 1e-12)).astype(np.float32)
         n = len(unit)
@@ -917,12 +898,7 @@ def dedup_embedding_pairs_slim(
         # unit vectors as fixed-width binary blobs: the acero hash join
         # rejects nested (list) payload columns, and a binary column also
         # moves through the exchange with zero per-element overhead
-        emb = t.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(
-            len(emb), -1
-        )
+        mat = fsl_to_numpy(t.column("embedding"))
         unit = (mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12))
         blob = unit.astype("<f4").tobytes()
         width = mat.shape[1] * 4

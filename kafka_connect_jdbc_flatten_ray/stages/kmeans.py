@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from kafka_connect_jdbc_flatten_ray.util import default_pool
+from kafka_connect_jdbc_flatten_ray.util import default_pool, fsl_to_numpy
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -34,12 +34,7 @@ class _AssignPartial:
         self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(
-            len(emb), -1
-        ).astype(np.float64)
+        mat = fsl_to_numpy(batch.column("embedding"), np.float64)
         unit = _unit_rows(mat)
         k, dim = self.cents.shape
         assign = (unit @ self.cents.T).argmax(axis=1)

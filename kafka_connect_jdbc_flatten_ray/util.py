@@ -3,6 +3,29 @@
 from __future__ import annotations
 
 
+def fsl_to_numpy(col, dtype=None):
+    """Flatten a fixed-size-list column to a 2-D numpy array [n, width],
+    correctly for SLICED arrays: ``Array.values`` ignores slice offsets
+    (it returns the whole child buffer), so a Ray block handed to us as a
+    non-zero-offset slice would misalign or over-read. ``flatten()`` is
+    offset-aware. Accepts a ChunkedArray or Array."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if pa.types.is_fixed_size_list(col.type):
+        width = col.type.list_size
+        assert len(flat) == n * width, "fixed-size-list flatten misaligned"
+    else:  # variable list<T> with uniform element count (e.g. embeddings)
+        assert n > 0 and len(flat) % n == 0, "ragged list column"
+        width = len(flat) // n
+    mat = np.asarray(flat).reshape(n, width)
+    return mat.astype(dtype) if dtype is not None else mat
+
+
 def default_pool(min_actors: int = 1) -> tuple[int, int]:
     """Actor-pool sizing matched to the cluster: cap at half the cluster's
     CPUs (leaving headroom for upstream reads and downstream writes) with a

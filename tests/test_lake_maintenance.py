@@ -67,9 +67,12 @@ class TestVacuumAndStatus:
 
             shutil.rmtree(f"{lake}/_checkpoints", ignore_errors=True)
         status = ingest.lake_status(lake)
-        assert status["cdc_filechange"]["epoch"] == 0  # checkpoint wiped -> epoch 0 each time
-        removed = ingest.vacuum(lake, keep_epochs=1)
-        # all files are epoch-0 and referenced -> nothing removed
+        # checkpoint wiped, but the manifest still advances the epoch counter
+        # (epochs are allocated from max(checkpoint, manifest)+1 so that
+        # compaction epochs are never reused by a later ingest)
+        assert status["cdc_filechange"]["epoch"] == 2
+        removed = ingest.vacuum(lake, keep_epochs=3)
+        # all three epochs retained and the newest referenced -> nothing removed
         assert all(v == 0 for v in removed.values())
 
     def test_vacuum_removes_old_epochs(self, ray_session, sf_dir, tmp_path):
@@ -162,6 +165,27 @@ class TestTimeTravelAndMorLookup:
         at0 = ingest.read_lake_table_at(lake, "cdc_filechange", 0).count()
         at1 = ingest.read_lake_table_at(lake, "cdc_filechange", 1).count()
         assert at0 == n0 and at1 == n1
+
+    def test_epoch_numbering_survives_compaction(self, ray_session, sf_dir, tmp_path):
+        """compact() advances the manifest epoch without a checkpoint entry;
+        the NEXT ingest must not reuse that epoch number, or
+        read_lake_table_at's `delta epoch > base epoch` filter would
+        silently drop the post-compaction delta from as-of reads."""
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        lake = str(tmp_path / "epochnum")
+        r0 = ingest.run_epoch(sf_dir, lake, mode="mor", replicate=1)
+        assert r0["epoch"] == 0
+        res = ingest.compact(lake, "cdc_filechange")
+        assert res["epoch"] == 1  # compaction took epoch 1
+        r1 = ingest.run_epoch(sf_dir, lake, mode="mor", replicate=2)
+        assert r1["epoch"] == 2  # NOT 1 — compaction's epoch is not reused
+        n_now = ingest.read_lake_table(lake, "cdc_filechange").count()
+        n_at = ingest.read_lake_table_at(lake, "cdc_filechange", 2).count()
+        assert n_at == n_now  # the post-compaction delta is visible as-of
+        m = TableManifest(lake, "cdc_filechange").load()
+        assert int(m["epoch"]) == 2
 
     def test_mor_point_lookup_replays_deltas(self, ray_session, sf_dir, tmp_path):
         from kafka_connect_jdbc_flatten_ray.pipelines import ingest
