@@ -14,6 +14,7 @@ import ray.data
 
 from kafka_connect_jdbc_flatten_ray.util import default_pool
 
+from kafka_connect_jdbc_flatten_ray.pipelines import dedup_oracles
 from kafka_connect_jdbc_flatten_ray.stages import ann, dedup, textops
 
 
@@ -380,11 +381,33 @@ def _media_ds(sf_dir: str, kind: str) -> ray.data.Dataset:
 
 
 def q_media_decode(sf_dir: str):
+    """Image decode summary. The full DecodeImage output carries the 16-bin
+    pixel histogram as a fixed-size list; the query surface reports the
+    modal bin + count instead (scalar columns the driver's hash compare and
+    the SQL oracle can both express) — same information path, all of it
+    derived from the histogram."""
+    import numpy as np
+    import pyarrow as pa
+
     from kafka_connect_jdbc_flatten_ray.stages import multimodal as mm
+    from kafka_connect_jdbc_flatten_ray.util import fsl_to_numpy
+
+    def _summarize(t: pa.Table) -> pa.Table:
+        hist = fsl_to_numpy(t.column("pixel_hist"))
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "width": t.column("width"),
+                "height": t.column("height"),
+                "mean_pixel": t.column("mean_pixel"),
+                "modal_bucket": pa.array(hist.argmax(axis=1).astype(np.int64)),
+                "modal_count": pa.array(hist.max(axis=1).astype(np.int64)),
+            }
+        )
 
     return _media_ds(sf_dir, "image").map_batches(
         mm.DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=default_pool()
-    )
+    ).map_batches(_summarize, batch_format="pyarrow")
 
 
 def q_video_frames(sf_dir: str):
@@ -522,8 +545,18 @@ def data_oracles() -> dict:
         "media_video_frames": ORACLE_VIDEO_FRAMES,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "media_audio_features": ORACLE_AUDIO_FEATURES,
-        # minhash/simhash/ngram/embedding pairs + keep/clusters, HLL
-        # distinct, ivf, image decode: rows-only (LSH/sketch randomness or
-        # byte-level histograms SQL can't express; each has a second
-        # independent Python reference in tests/test_reference_impls.py)
+        # the MinHash/SimHash family is deterministic integer arithmetic
+        # (token hash == the engine's own fingerprint), so the whole LSH
+        # pipeline is mirrored stage-by-stage in SQL (dedup_oracles.py)
+        "dedup_minhash_pairs": dedup_oracles.minhash_pairs_sql(0.5, "word"),
+        "dedup_minhash_pairs_slim": dedup_oracles.minhash_pairs_sql(0.5, "word"),
+        "dedup_ngram_jaccard_pairs": dedup_oracles.minhash_pairs_sql(0.5, "char"),
+        "dedup_simhash_pairs": dedup_oracles.simhash_pairs_sql(3),
+        "dedup_minhash_keep": dedup_oracles.minhash_keep_sql(0.95),
+        "dedup_minhash_clusters": dedup_oracles.minhash_clusters_sql(0.9),
+        "media_image_decode": dedup_oracles.image_decode_sql(),
+        # still rows-only: embedding pairs (float32 hyperplane sign bits SQL
+        # can't reproduce bit-stably), HLL distinct + IVF (approximate by
+        # design); each has a second independent Python reference in
+        # tests/test_reference_impls.py
     }

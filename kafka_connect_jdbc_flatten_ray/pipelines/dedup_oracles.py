@@ -1,0 +1,291 @@
+"""DuckDB SQL mirrors of the MinHash / SimHash / n-gram dedup machinery.
+
+The engine's token hash is its own content fingerprint —
+``Horner(bytes, 1000003) * _A + len  (mod 2**64)`` (stages/dedup.py
+``_string_hashes``) — so every downstream LSH value is deterministic
+integer arithmetic that plain SQL can reproduce. All mod-2**64 math runs
+in HUGEINT (int128); products of two 64-bit values would overflow int128,
+so multiplication by a 64-bit constant is split into 32-bit halves:
+
+    (x * c) mod 2**64
+      = (x*c_lo + ((x*c_hi) mod 2**32) * 2**32) mod 2**64      (exact)
+
+with every intermediate < 2**97. Constants (_A/_B/_C, the 32 permutation
+(a, b) pairs from RandomState(1234), band/char-gram powers of _B) are
+computed here in Python and INLINED as literals, which is what makes the
+oracle independent of the engine at run time.
+
+The oracles mirror, stage by stage (same names as stages/dedup.py):
+tokens -> th -> shingle hashes (word k=3 / char 5-gram) -> 32 permuted
+minima (missing shingles => 2**64-1) -> 8 band hashes -> per-(band,
+bucket) star pairs (head = min doc_id) -> signature-estimated Jaccard /
+Hamming filter -> distinct pairs. Keep/clusters build on the pairs CTE
+(clusters via a recursive transitive closure, min reachable id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M = 1 << 64
+_MSTR = "18446744073709551616"
+_A = 0x9E3779B97F4A7C15
+_B = 0xC2B2AE3D27D4EB4F
+_C = 0x165667B19E3779F9
+
+# identical generation to stages/dedup.py:_PERM_A/_PERM_B
+_NUM_PERM = 32
+_ROWS_PER_BAND = 4
+_rng = np.random.RandomState(1234)
+_PERM_A = (_rng.randint(1, 2**62, _NUM_PERM).astype(np.uint64) | np.uint64(1))
+_PERM_B = _rng.randint(1, 2**62, _NUM_PERM).astype(np.uint64)
+
+
+def _mul(x: str, c: int) -> str:
+    """SQL: (x * c) mod 2**64 for a HUGEINT expression x < 2**64."""
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    return (f"((({x}) * {c_lo} + ((({x}) * {c_hi}) % 4294967296) "
+            f"* 4294967296) % {_MSTR})")
+
+
+_HORNER = (
+    "list_reduce("
+    "list_prepend(CAST(0 AS HUGEINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(ord(c) AS HUGEINT))), "
+    f"(acc, b) -> (acc * 1000003 + b) % CAST('{_MSTR}' AS HUGEINT))"
+)
+
+# token hashes: (doc_id, pos, th) — th = Horner*_A + len (mod 2**64);
+# split_pattern(" ") and string_split(' ') agree, including empty tokens
+_TH = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+th AS (
+  SELECT doc_id, pos,
+    CASE WHEN tok = '' THEN CAST(0 AS HUGEINT) ELSE
+      ({_mul(_HORNER, _A)} + length(tok)) % {_MSTR}
+    END AS th
+  FROM toks
+)"""
+
+# word 3-shingles: sh = th0*(_A*_B^2) + th1*(_C*_B) + th2*_C (mod 2**64)
+_K0 = (_A * _B * _B) % _M
+_K1 = (_C * _B) % _M
+_K2 = _C
+_SH_WORD = f"""
+sh AS (
+  SELECT a.doc_id,
+    (({_mul('a.th', _K0)}) + ({_mul('b.th', _K1)}) + ({_mul('c.th', _K2)}))
+      % {_MSTR} AS sh
+  FROM th a
+  JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)"""
+
+# char 5-grams: sh = sum_m byte_{i+m} * (_A*_B^(4-m)); bytes < 256 keep
+# every product < 2**72 so no split multiply is needed. ord(c) == the utf8
+# byte only for ASCII text (the synthetic corpus; the general-bytes case
+# is covered by tests/test_reference_impls.py).
+_NK = [(_A * pow(_B, 4 - m, _M)) % _M for m in range(5)]
+_SH_CHAR = f"""
+chars AS (
+  SELECT doc_id,
+         CAST(ord(unnest(string_split(text, ''))) AS HUGEINT) AS b,
+         generate_subscripts(string_split(text, ''), 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT a.doc_id,
+    (a.b * {_NK[0]} + b.b * {_NK[1]} + c.b * {_NK[2]}
+     + d.b * {_NK[3]} + e.b * {_NK[4]}) % {_MSTR} AS sh
+  FROM chars a
+  JOIN chars b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN chars c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN chars d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+  JOIN chars e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+)"""
+
+_PERMS_VALUES = ",\n    ".join(
+    f"({j}, {int(a) >> 32}, {int(a) & 0xFFFFFFFF}, {int(b)})"
+    for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+)
+_PERM_MUL = (f"(((s.sh) * p.pa_lo + (((s.sh) * p.pa_hi) % 4294967296) "
+             f"* 4294967296) % {_MSTR})")
+
+# 32 signature minima per doc; docs with no shingles get 2**64-1 everywhere
+_SIG = f"""
+perms(j, pa_hi, pa_lo, pb) AS (
+  VALUES {_PERMS_VALUES}
+),
+sigmin AS (
+  SELECT s.doc_id, p.j, min(({_PERM_MUL} + p.pb) % {_MSTR}) AS v
+  FROM sh s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.j
+),
+sigfull AS (
+  SELECT d.doc_id, p.j,
+         coalesce(s.v, CAST('18446744073709551615' AS HUGEINT)) AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN sigmin s ON s.doc_id = d.doc_id AND s.j = p.j
+)"""
+
+# band hash over each run of 4 signature values (Horner in _B, mod 2**64)
+_B3 = (_B * _B * _B) % _M
+_B2 = (_B * _B) % _M
+_BANDS = f"""
+bands AS (
+  SELECT doc_id, j // {_ROWS_PER_BAND} AS band_id,
+    CAST(sum(CASE j % {_ROWS_PER_BAND}
+      WHEN 0 THEN {_mul('v', _B3)}
+      WHEN 1 THEN {_mul('v', _B2)}
+      WHEN 2 THEN {_mul('v', _B)}
+      ELSE v END) AS HUGEINT) % {_MSTR} AS bh
+  FROM sigfull
+  GROUP BY doc_id, j // {_ROWS_PER_BAND}
+)"""
+
+# star pairs per (band, bucket): head = bucket-min doc_id, one pair per
+# other member; est_jaccard = mean signature-component equality (k/32,
+# exactly representable, so double compare is exact)
+_PAIRS = """
+heads AS (
+  SELECT band_id, bh, min(doc_id) AS head
+  FROM bands GROUP BY band_id, bh
+),
+cand AS (
+  SELECT DISTINCT h.head AS doc_a, b.doc_id AS doc_b
+  FROM bands b
+  JOIN heads h ON h.band_id = b.band_id AND h.bh = b.bh
+  WHERE b.doc_id <> h.head
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sigfull sa ON sa.doc_id = c.doc_a
+  JOIN sigfull sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY c.doc_a, c.doc_b
+)"""
+
+
+def _minhash_ctes(shingles: str) -> str:
+    sh = _SH_WORD if shingles == "word" else _SH_CHAR
+    base = _TH + "," if shingles == "word" else ""
+    return f"{base}{sh},{_SIG},{_BANDS},{_PAIRS}"
+
+
+def minhash_pairs_sql(threshold: float = 0.5, shingles: str = "word") -> str:
+    """Mirror of dedup_minhash_pairs / dedup_minhash_pairs_slim (identical
+    outputs) / dedup_ngram_jaccard_pairs (shingles='char')."""
+    return (f"WITH {_minhash_ctes(shingles)} "
+            f"SELECT doc_a, doc_b, est_jaccard FROM est "
+            f"WHERE est_jaccard >= {threshold}")
+
+
+def minhash_keep_sql(threshold: float = 0.95) -> str:
+    """Mirror of dedup_minhash_keep: drop every doc that is the higher-id
+    side of a surviving pair."""
+    return (f"WITH {_minhash_ctes('word')} "
+            f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            f"(SELECT doc_b FROM est WHERE est_jaccard >= {threshold})")
+
+
+def minhash_clusters_sql(threshold: float = 0.9) -> str:
+    """Mirror of dedup_minhash_clusters: cluster_id = min doc_id of the
+    connected component over surviving pairs (transitive closure; the
+    engine reaches the same fixpoint by distributed min-label
+    propagation)."""
+    return f"""WITH RECURSIVE {_minhash_ctes('word')},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= {threshold}
+  UNION
+  SELECT doc_b, doc_a FROM est WHERE est_jaccard >= {threshold}
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src"""
+
+
+# SimHash: bit j of the 64-bit simhash = majority vote over token-hash
+# bits; pigeonhole = 4 x 16-bit chunks; pairs verified by Hamming <= T.
+_SIMHASH = """
+votes AS (
+  SELECT t.doc_id, r.range AS j,
+         sum(CASE WHEN (CAST(t.th AS UBIGINT) >> CAST(r.range AS INTEGER))
+                       & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th t, range(64) r
+  GROUP BY t.doc_id, r.range
+),
+sim AS (
+  SELECT doc_id,
+         CAST(CAST(sum(CASE WHEN v > 0
+                       THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                       ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS UBIGINT)
+           AS simv
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT s.doc_id, r.range AS chunk_id,
+         (s.simv >> CAST(16 * r.range AS INTEGER)) & 65535 AS cv
+  FROM sim s, range(4) r
+),
+sheads AS (
+  SELECT chunk_id, cv, min(doc_id) AS head
+  FROM chunks GROUP BY chunk_id, cv
+),
+scand AS (
+  SELECT DISTINCT h.head AS doc_a, c.doc_id AS doc_b
+  FROM chunks c
+  JOIN sheads h ON h.chunk_id = c.chunk_id AND h.cv = c.cv
+  WHERE c.doc_id <> h.head
+)"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Mirror of dedup_simhash_pairs."""
+    return (f"WITH {_TH},{_SIMHASH} "
+            "SELECT c.doc_a, c.doc_b, "
+            "CAST(bit_count(xor(sa.simv, sb.simv)) AS BIGINT) AS hamming "
+            "FROM scand c JOIN sim sa ON sa.doc_id = c.doc_a "
+            "JOIN sim sb ON sb.doc_id = c.doc_b "
+            f"WHERE bit_count(xor(sa.simv, sb.simv)) <= {max_hamming}")
+
+
+def image_decode_sql() -> str:
+    """Mirror of the FAKEIMG decode summary (q_media_decode): the fake
+    payload is the text's bytes cycled to w*h pixels with w = 8+id%24,
+    h = 6+id%18; mean and the modal 16-bucket histogram entry are integer
+    arithmetic (sums < 2**53, so the double mean is bit-exact).
+    list_position returns the FIRST max, matching numpy argmax."""
+    return """
+WITH b AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
+         length(text) AS len,
+         8 + doc_id % 24 AS w, 6 + doc_id % 18 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, w * h AS need,
+         list_transform(range(w * h), i -> bytes[i % len + 1]) AS pxs
+  FROM b
+), hist AS (
+  SELECT doc_id, w, h, need, pxs,
+         list_transform(range(16),
+                        bkt -> len(list_filter(pxs, x -> x // 16 = bkt))) AS hs
+  FROM px
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(list_sum(pxs) AS DOUBLE) / need AS mean_pixel,
+       CAST(list_position(hs, list_max(hs)) - 1 AS BIGINT) AS modal_bucket,
+       CAST(list_max(hs) AS BIGINT) AS modal_count
+FROM hist"""

@@ -38,18 +38,17 @@ def _text_col(batch: pa.Table) -> pa.Array:
 
 def _string_hashes(flat: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Stable 64-bit hash per string, vectorized: dictionary-encode (C++
-    hash table), pandas-hash only the UNIQUE values, gather by index.
-    Identical values to hashing the full array (pandas hashes elementwise)
-    at a fraction of the object-conversion cost for natural-vocabulary
-    token streams."""
+    hash table), polynomial-hash only the UNIQUE values, gather by index.
+    The hash is ``Horner(bytes, 1000003) * _A + len  (mod 2**64)`` — the
+    engine's own content fingerprint — so every downstream MinHash /
+    SimHash value is reproducible in plain SQL (see
+    pipelines/dedup_oracles.py for the DuckDB mirror)."""
     d = pc.dictionary_encode(flat)
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
-    hd = pd.util.hash_pandas_object(
-        pd.Series(d.dictionary.to_numpy(zero_copy_only=False)), index=False
-    ).to_numpy().astype(U64)
-    if len(hd) == 0:
+    if len(d.dictionary) == 0:
         return np.empty(0, U64)
+    hd, _ = _fingerprints(d.dictionary)
     return hd[d.indices.to_numpy(zero_copy_only=False)]
 
 
@@ -536,13 +535,51 @@ def connected_component_labels(
     prev_sum = labels.sum("lab")
     if prev_sum is None:  # empty edge set
         return None
-    for _ in range(max_iters):
-        msgs = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("nbr"), "lab": t.column("lab")}),
-            batch_format="pyarrow",
+
+    # L(v) attached to v's edges via union + groupby (NOT a hash join: the
+    # ray 2.49 join aggregator builds zero-schema tables for empty shuffle
+    # partitions and crashes on small/skewed inputs; the sort-based
+    # groupby tolerates them). Every edge node has a label by
+    # construction, so each group emits one message per incident edge.
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "nbr": t.column("nbr"),
+                "lab": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
         )
+
+    def _label_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "nbr": pa.nulls(n, pa.int64()),
+                "lab": t.column("lab"),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def _propagate(t: pa.Table) -> pa.Table:
+        side = t.column("side")
+        edge_nbr = t.filter(pc.equal(side, 0)).column("nbr")
+        lab = pc.min(t.filter(pc.equal(side, 1)).column("lab")).as_py()
+        if lab is None or len(edge_nbr) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "lab": pa.array([], pa.int64())})
+        return pa.table(
+            {"node": pc.cast(edge_nbr, pa.int64()),
+             "lab": pa.array(np.full(len(edge_nbr), lab, np.int64))}
+        )
+
+    edge_tagged = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+    for _ in range(max_iters):
+        msgs = edge_tagged.union(
+            labels.map_batches(_label_rows, batch_format="pyarrow")
+        ).groupby("node").map_groups(_propagate, batch_format="pyarrow")
         labels = (
             msgs.union(labels)
             .groupby("node")

@@ -1,0 +1,67 @@
+"""The DuckDB mirrors in pipelines/dedup_oracles.py must stay bit-equal to
+the engine: token hashing is the engine's own polynomial fingerprint, so
+every LSH stage is deterministic integer arithmetic. These tests pin the
+equivalence locally (the driver re-checks at sf0.01); the slowest mirrors
+(char-ngram ~20 s, clusters ~17 s SQL) are exercised by the driver and by
+scripts/verify_oracles.py rather than per-test-run."""
+
+import duckdb
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.pipelines import dedup_oracles
+from kafka_connect_jdbc_flatten_ray.stages import dedup
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+def _docs(sf_dir):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _cmp(ray_ds, con, sql, cols):
+    a = ray_ds.to_pandas().sort_values(cols).reset_index(drop=True)
+    b = con.execute(sql).df()[list(a.columns)].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert len(a) > 0, "degenerate comparison: no rows"
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+    return len(a)
+
+
+class TestMinHashOracle:
+    def test_word_pairs_match_sql(self, ray_session, sf_dir):
+        _cmp(dedup.dedup_minhash_pairs(_docs(sf_dir), threshold=0.5),
+             _con(sf_dir), dedup_oracles.minhash_pairs_sql(0.5, "word"),
+             ["doc_a", "doc_b"])
+
+    def test_keep_matches_sql(self, ray_session, sf_dir):
+        _cmp(dedup.dedup_minhash_keep(_docs(sf_dir), threshold=0.95),
+             _con(sf_dir), dedup_oracles.minhash_keep_sql(0.95), ["doc_id"])
+
+
+class TestSimHashOracle:
+    def test_pairs_match_sql(self, ray_session, sf_dir):
+        _cmp(dedup.dedup_simhash_pairs(_docs(sf_dir), max_hamming=3),
+             _con(sf_dir), dedup_oracles.simhash_pairs_sql(3),
+             ["doc_a", "doc_b"])
+
+
+class TestImageDecodeOracle:
+    def test_summary_matches_sql(self, ray_session, sf_dir):
+        from kafka_connect_jdbc_flatten_ray.pipelines.data_queries import (
+            q_media_decode,
+        )
+
+        n = _cmp(q_media_decode(sf_dir), _con(sf_dir),
+                 dedup_oracles.image_decode_sql(),
+                 ["media_id"])
+        assert n == 500
