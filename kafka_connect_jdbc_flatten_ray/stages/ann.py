@@ -44,21 +44,21 @@ class BruteForceTopK:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = _unit(_mat(batch.column("embedding")))
         sims = self.q_mat @ m.T  # [Q, B]
-        out_q, out_v, out_c = [], [], []
-        k = min(self.k + 1, sims.shape[1])
-        for qi, qid in enumerate(self.q_ids):
-            s = sims[qi]
-            top = np.argpartition(-s, k - 1)[:k]
-            for t in top:
-                if ids[t] != qid:
-                    out_q.append(qid)
-                    out_v.append(ids[t])
-                    out_c.append(s[t])
+        q_ids = np.asarray(self.q_ids, np.int64)
+        nq, nb = sims.shape
+        # one argpartition over the whole [Q, B] matrix + a vectorized
+        # self-exclusion mask — no per-query / per-hit Python loops, so the
+        # stage cost is the matmul even at thousands of queries
+        k = min(self.k + 1, nb)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # [Q, k]
+        rows = np.repeat(np.arange(nq), k)
+        cols = top.reshape(-1)
+        keep = ids[cols] != q_ids[rows]
         return pa.table(
             {
-                "query_id": pa.array(np.array(out_q, np.int64)),
-                "vec_id": pa.array(np.array(out_v, np.int64)),
-                "cos": pa.array(np.array(out_c, np.float64)),
+                "query_id": pa.array(q_ids[rows][keep]),
+                "vec_id": pa.array(ids[cols][keep].astype(np.int64)),
+                "cos": pa.array(sims[rows, cols][keep].astype(np.float64)),
             }
         )
 
@@ -200,28 +200,41 @@ def ann_topk_ivf(
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             buckets = batch.column("ivf_bucket").to_numpy(zero_copy_only=False)
             m = _unit(_mat(batch.column("embedding")))
+            q_all = np.asarray(self.q_ids, np.int64)
             out_q, out_v, out_c = [], [], []
+            # loop over DISTINCT probed buckets only; inside each, one
+            # argpartition over the [nq, nb] block + a vectorized
+            # self-exclusion mask (no per-query / per-hit Python loops)
             for b in np.unique(buckets):
                 qis = self.b2q.get(int(b))
                 if not qis:
                     continue
                 sel = buckets == b
                 sub_ids, sub = ids[sel], m[sel]
-                sims = self.q_mat[qis] @ sub.T
-                kk = min(self.k + 1, sims.shape[1])
-                for row, qi in enumerate(qis):
-                    s = sims[row]
-                    top = np.argpartition(-s, kk - 1)[:kk]
-                    for t in top:
-                        if sub_ids[t] != self.q_ids[qi]:
-                            out_q.append(self.q_ids[qi])
-                            out_v.append(sub_ids[t])
-                            out_c.append(s[t])
+                sims = self.q_mat[qis] @ sub.T  # [nq, nb]
+                nq, nb = sims.shape
+                kk = min(self.k + 1, nb)
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(np.arange(nq), kk)
+                cols = top.reshape(-1)
+                qarr = q_all[np.asarray(qis)]
+                keep = sub_ids[cols] != qarr[rows]
+                out_q.append(qarr[rows][keep])
+                out_v.append(sub_ids[cols][keep].astype(np.int64))
+                out_c.append(sims[rows, cols][keep].astype(np.float64))
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
             return pa.table(
                 {
-                    "query_id": pa.array(np.array(out_q, np.int64)),
-                    "vec_id": pa.array(np.array(out_v, np.int64)),
-                    "cos": pa.array(np.array(out_c, np.float64)),
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "vec_id": pa.array(np.concatenate(out_v)),
+                    "cos": pa.array(np.concatenate(out_c)),
                 }
             )
 

@@ -784,10 +784,14 @@ class HyperplaneBucket:
 
 def _sharded_cosine_pairs(threshold: float):
     def fn(group: pa.Table) -> pa.Table:
-        """All-pairs cosine for EVERY bucket in one (table, shard) group:
-        one task sorts by (bucket, vec_id) and runs one small matmul per
-        bucket SEGMENT — a plain loop over segments inside the task, never
-        a Ray/pandas round-trip per bucket."""
+        """STAR-pattern cosine pairs for EVERY bucket in one (table, shard)
+        group: sort by (bucket, vec_id), pair each member with its bucket
+        head, verify with ONE batched row-wise dot product across the whole
+        shard. Linear in bucket size — a degenerate corpus (thousands of
+        near-identical vectors collapsing into one hot bucket) emits O(b)
+        pairs with O(b*dim) work, never the O(b^2) all-pairs matmul. Same
+        pair semantics as the slim variant (dedup_embedding_pairs_slim), so
+        dense and slim stay output-equivalent."""
         empty = pa.table({"vec_a": pa.array([], pa.int64()),
                           "vec_b": pa.array([], pa.int64()),
                           "cos": pa.array([], pa.float64())})
@@ -799,29 +803,26 @@ def _sharded_cosine_pairs(threshold: float):
         mat = fsl_to_numpy(group.column("vec"))
         order = np.lexsort((vid, bh))
         bh_s, vid_s, mat_s = bh[order], vid[order], mat[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(bh_s[1:] != bh_s[:-1]) + 1, [n])
+        new_bucket = np.concatenate(([True], bh_s[1:] != bh_s[:-1]))
+        head_pos = np.flatnonzero(new_bucket)
+        head_of = head_pos[np.cumsum(new_bucket) - 1]
+        member = ~new_bucket
+        if not member.any():
+            return empty
+        # float64 accumulation, matching the slim variant's verify exactly
+        cos = np.einsum(
+            "ij,ij->i",
+            mat_s[member].astype(np.float64),
+            mat_s[head_of[member]].astype(np.float64),
         )
-        out_a, out_b, out_c = [], [], []
-        for s0, s1 in zip(bounds[:-1], bounds[1:]):
-            if s1 - s0 < 2:
-                continue
-            m = mat_s[s0:s1]
-            sims = m @ m.T
-            iu = np.triu_indices(s1 - s0, k=1)
-            cos = sims[iu]
-            keep = cos >= threshold
-            if keep.any():
-                out_a.append(vid_s[s0:s1][iu[0][keep]])
-                out_b.append(vid_s[s0:s1][iu[1][keep]])
-                out_c.append(cos[keep].astype(np.float64))
-        if not out_a:
+        keep = cos >= threshold
+        if not keep.any():
             return empty
         return pa.table(
             {
-                "vec_a": pa.array(np.concatenate(out_a)),
-                "vec_b": pa.array(np.concatenate(out_b)),
-                "cos": pa.array(np.concatenate(out_c)),
+                "vec_a": pa.array(vid_s[head_of[member]][keep]),
+                "vec_b": pa.array(vid_s[member][keep]),
+                "cos": pa.array(cos[keep]),
             }
         )
 

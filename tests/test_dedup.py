@@ -80,6 +80,28 @@ class TestEmbeddingDedup:
         assert (0, 1) in found
         assert all({a, b} == {0, 1} for a, b in found)
 
+    def test_hot_bucket_stays_linear(self, ray_session):
+        """1k near-identical vectors collapse into one LSH bucket; the
+        star-pattern dense path must emit O(b) head-vs-member pairs (all
+        anchored on the bucket-min id), never the O(b^2) all-pairs set."""
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal(32).astype(np.float32)
+        mat = base + 1e-4 * rng.standard_normal((1000, 32)).astype(np.float32)
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": list(range(len(mat))),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1)), 32
+                    ).cast(pa.list_(pa.float32())),
+                }
+            )
+        )
+        pairs = dedup.dedup_embedding_pairs(emb, 32, threshold=0.99).take_all()
+        assert len(pairs) == 999  # star: one pair per non-head member
+        assert all(r["vec_a"] == 0 for r in pairs)
+        assert {r["vec_b"] for r in pairs} == set(range(1, 1000))
+
 
 class TestANN:
     def test_brute_force_topk(self, ray_session, sf_dir):
