@@ -632,5 +632,13 @@ def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
                 if match and finfo.path not in referenced and int(match.group(1)) < cutoff:
                     fsx.delete_file(fs, finfo.path)
                     n += 1
+        # committed epoch-claim markers below the cutoff are pure history
+        # (epoch numbers only move forward, so they can never be re-claimed)
+        mpat = re.compile(r"epoch-(\d+)\.json$")
+        for finfo in fsx.listdir(fs, fsx.join(tdir, "_epochs")):
+            mt = mpat.search(finfo.base_name)
+            if mt and int(mt.group(1)) < cutoff:
+                fsx.delete_file(fs, finfo.path)
+                n += 1
         removed[table] = n
     return removed

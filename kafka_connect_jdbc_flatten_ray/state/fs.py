@@ -82,6 +82,32 @@ def publish_file(fs: pafs.FileSystem, staged: str, path: str) -> None:
         fs.move(staged, path)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer already claimed this epoch (or a crashed writer left
+    a stale claim — see TableManifest.abandon_epoch)."""
+
+
+def create_exclusive(fs: pafs.FileSystem, path: str, data: bytes) -> None:
+    """Atomically create ``path`` with ``data``; raise ConcurrentWriteError
+    if it already exists. Local filesystems get a true O_CREAT|O_EXCL CAS;
+    object stores get existence-check + PUT (best-effort — exact on stores
+    with conditional PUT once pyarrow exposes it)."""
+    if isinstance(fs, pafs.LocalFileSystem):
+        import os
+
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise ConcurrentWriteError(path) from None
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+    else:
+        if exists(fs, path):
+            raise ConcurrentWriteError(path)
+        with fs.open_output_stream(path) as f:
+            f.write(data)
+
+
 def delete_file(fs: pafs.FileSystem, path: str) -> None:
     fs.delete_file(path)
 

@@ -66,6 +66,19 @@ class TableManifest:
         files instead of replacing base files; ``clear_deltas`` (compaction)
         drops all delta references after folding them into new bases.
         """
+        # single-writer CAS (the analogue of the reference's concurrent-DDL
+        # retry contract, DbStructure.java:127-234 amendIfNecessary): claim
+        # the epoch number with an exclusive marker create BEFORE the swap.
+        # A second writer racing the same epoch loses loudly with
+        # ConcurrentWriteError instead of silently last-write-winning the
+        # manifest. A writer that crashed between claim and swap leaves a
+        # stale marker; abandon_epoch(epoch) clears it after operator
+        # review (indistinguishable from a live writer without leases).
+        fsx.makedirs(self.fs, posixpath.join(self.dir, "_epochs"))
+        marker = posixpath.join(self.dir, "_epochs", f"epoch-{epoch:06d}.json")
+        fsx.create_exclusive(
+            self.fs, marker, json.dumps({"epoch": epoch, **stats}).encode()
+        )
         prev = self.load() or {"buckets": {}, "epochs": []}
         buckets = {int(b): p for b, p in prev["buckets"].items()}
         buckets.update(bucket_files)
@@ -85,3 +98,18 @@ class TableManifest:
         }
         fsx.makedirs(self.fs, self.dir)
         fsx.write_bytes_atomic(self.fs, self.path, json.dumps(m, indent=1).encode())
+
+    def abandon_epoch(self, epoch: int) -> None:
+        """Clear a stale epoch claim left by a writer that crashed between
+        its marker create and the manifest swap, so the next writer can
+        re-claim the number. Refuses if the manifest already committed the
+        epoch (that claim is not stale)."""
+        m = self.load()
+        if m and int(m["epoch"]) >= epoch:
+            raise ValueError(
+                f"epoch {epoch} is committed in the manifest; refusing to "
+                "abandon a completed epoch"
+            )
+        marker = posixpath.join(self.dir, "_epochs", f"epoch-{epoch:06d}.json")
+        if fsx.exists(self.fs, marker):
+            fsx.delete_file(self.fs, marker)
