@@ -73,6 +73,12 @@ class SinkConfig:
     # is byte-bound, so the smallest payload wins end-to-end; measured
     # 14.3s vs lz4's 21.9s on the 10.7M-event bench) | lz4 | none
     envelope_compression: str = "zstd"
+    # bucket-assignment hash for the merge shuffle / lake layout.
+    # 2 = Arrow-native stable_row_hash (functions/hashing.py); 1 = legacy
+    # pandas hash_pandas_object. Recorded in each table manifest's
+    # partitioning metadata; run_epoch follows the STORED version on
+    # existing lakes so new epochs keep co-locating keys with prior state.
+    hash_version: int = 2
 
     def __post_init__(self) -> None:
         if self.insert_mode not in ("insert", "upsert", "update"):

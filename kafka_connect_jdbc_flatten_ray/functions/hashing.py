@@ -40,6 +40,68 @@ def _canonical_strings(tbl: pa.Table) -> pa.Array:
     return pc.binary_join_element_wise(*parts, "")
 
 
+_U64 = np.uint64
+_NULL_SENTINEL = _U64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants): full
+    avalanche so `h % num_buckets` spreads even near-sequential inputs."""
+    with np.errstate(over="ignore"):
+        z = x + _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
+
+
+def _col_hash64(col) -> np.ndarray:
+    """Deterministic per-row 64-bit hash of one column, Arrow-native:
+    strings/binary hash only their UNIQUE values (dictionary encode +
+    polynomial fingerprint, the dedup-stage pattern) then gather; numeric
+    and temporal types use their bit pattern; nulls a fixed sentinel."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import _fingerprints
+
+        d = pc.dictionary_encode(col)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        if len(d.dictionary) == 0:
+            return np.full(len(col), _NULL_SENTINEL, _U64)
+        hd, _ = _fingerprints(d.dictionary)
+        idx = d.indices
+        if idx.null_count:
+            hd = np.concatenate([hd, [_NULL_SENTINEL]])
+            idx = pc.fill_null(idx, len(hd) - 1)
+        return hd[idx.to_numpy(zero_copy_only=False)]
+    if pa.types.is_floating(t):
+        v = pc.fill_null(pc.cast(col, pa.float64()), float("nan"))
+        raw = v.to_numpy(zero_copy_only=False).view(_U64).copy()
+    elif pa.types.is_boolean(t):
+        raw = pc.fill_null(col, False).to_numpy(zero_copy_only=False).astype(_U64)
+    else:  # ints, timestamps, dates, decimals-as-int
+        v = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        raw = v.to_numpy(zero_copy_only=False).view(_U64).copy()
+    if col.null_count:
+        mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        raw[mask] = _NULL_SENTINEL
+    return _splitmix64(raw)
+
+
+def stable_row_hash(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
+    """Deterministic uint64 hash per row over ``cols`` with NO pandas
+    round-trip — the engine's bucket-assignment hash (hash_version 2).
+    Stable across processes/batches/partitionings (writer and reader both
+    recompute it for bucket pruning), unlike a per-batch factorize."""
+    h = np.full(tbl.num_rows, _U64(0x165667B19E3779F9), _U64)
+    with np.errstate(over="ignore"):
+        for name in cols:
+            h = _splitmix64(h + _col_hash64(tbl.column(name)))
+    return h
+
+
 def batch_digest(tbl: pa.Table) -> int:
     """Sum (mod 2^64) of per-row 64-bit content hashes."""
     if tbl.num_rows == 0:

@@ -240,14 +240,26 @@ def run_epoch(
     epoch = -1 if prev is None else prev
 
     prior_files: dict[tuple[str, int], str] = {}
+    stored_hv: int | None = None
     for tp in plan.tables:
         man = TableManifest(lake_root, tp.table)
         m = man.load()
         if m:
             epoch = max(epoch, int(m["epoch"]))
+            part = m.get("partitioning") or {}
+            if part:
+                hv = int(part.get("hash_version", 1))
+                stored_hv = hv if stored_hv is None else min(stored_hv, hv)
         for b, path in man.current_files().items():
             prior_files[(tp.table, b)] = path
     epoch += 1
+    # bucket layout is persistent: an existing lake's recorded hash version
+    # wins over the config default so new epochs keep co-locating each key
+    # with its prior bucket (manifests without the field are legacy v1)
+    if stored_hv is not None and stored_hv != cfg.hash_version:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, hash_version=stored_hv)
     offsets = ck.load()
 
     events = event_stream(sf_dir, num_partitions, True, replicate,
@@ -284,6 +296,7 @@ def run_epoch(
         part_info = {
             "num_buckets": cfg.num_buckets,
             "key_pk_cols": list(key_cols.get(t, ())),
+            "hash_version": cfg.hash_version,
         }
         tp = next((x for x in plan.tables if x.table == t), None)
         schema_str = str(tp.data_schema()) if tp is not None else None
@@ -533,14 +546,22 @@ def lake_lookup(lake_root: str, table: str, key_values: dict) -> list[dict]:
     if part:
         num_buckets = int(part["num_buckets"])
         key_pk_cols = tuple(part["key_pk_cols"])
+        hash_version = int(part.get("hash_version", 1))
     else:  # pre-partitioning manifests: fall back to the default plan
         cfg = default_config()
         plan = default_plan(cfg)
         tp = next(t for t in plan.tables if t.table == table)
         num_buckets = cfg.num_buckets
         key_pk_cols = tp.key_pk_cols
-    df = pd.DataFrame({c: [key_values[c]] for c in key_pk_cols})
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        hash_version = 1
+    if hash_version >= 2:
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+
+        t1 = pa.table({c: [key_values[c]] for c in key_pk_cols})
+        h = stable_row_hash(t1, key_pk_cols)
+    else:  # legacy lakes bucketed with the pandas hash
+        df = pd.DataFrame({c: [key_values[c]] for c in key_pk_cols})
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
     bucket = int(h[0] % np.uint64(num_buckets))
     path = manifest.current_files().get(bucket)
     deltas = manifest.current_deltas().get(bucket, [])

@@ -203,9 +203,13 @@ def _update_merge(pk: tuple[str, ...], delete_enabled: bool):
 
 
 def _bucket_fn(pk: tuple[str, ...], num_buckets: int):
+    # Arrow-native row hash (no per-batch pandas round-trip); the bucket
+    # column is shuffle-internal only — dropped after the merge, never
+    # persisted — so no layout-migration concern here.
     def _bucket(t: pa.Table) -> pa.Table:
-        df = t.select(list(pk)).to_pandas()
-        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+
+        h = stable_row_hash(t, pk)
         return t.append_column(
             "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )

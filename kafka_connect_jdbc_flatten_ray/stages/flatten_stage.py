@@ -87,16 +87,30 @@ def deserialize_ipc(buf) -> pa.Table:
     return pa.ipc.open_stream(pa.py_buffer(raw)).read_all()
 
 
-def bucket_of(tbl: pa.Table, key_cols: tuple[str, ...], num_buckets: int) -> np.ndarray:
+def bucket_of(
+    tbl: pa.Table, key_cols: tuple[str, ...], num_buckets: int,
+    hash_version: int = 2,
+) -> np.ndarray:
     """Deterministic hash bucket per row over the key-PK columns.
 
     This is the engine's explicit skew/partitioning control (SURVEY.md §7.3):
     the merge shuffle key is hash(key-pk) so all ops for a key meet in one
     group. Tables with no key PKs spread rows by offset (no clears to align).
+
+    ``hash_version`` 2 (default) is the Arrow-native stable_row_hash —
+    no per-batch pandas round-trip in the engine's hottest path; 1 is the
+    legacy pandas hash kept for lakes whose manifests recorded it (bucket
+    assignment is persistent lake layout, so the version travels with the
+    manifest — see run_epoch / lake_lookup).
     """
     if not key_cols:
         off = tbl.column(OFF_COL).to_numpy(zero_copy_only=False)
         return (off % num_buckets).astype(np.int32)
+    if hash_version >= 2:
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+
+        h = stable_row_hash(tbl, key_cols)
+        return (h % np.uint64(num_buckets)).astype(np.int32)
     df = tbl.select(list(key_cols)).to_pandas()
     h = pd.util.hash_pandas_object(df, index=False).to_numpy()
     return (h % np.uint64(num_buckets)).astype(np.int32)
@@ -203,7 +217,7 @@ class FlattenStage:
             tbl = local_prereduce(out[tp.table], tp.key_pk_cols)
             if tbl.num_rows == 0:
                 continue
-            b = bucket_of(tbl, tp.key_pk_cols, nb)
+            b = bucket_of(tbl, tp.key_pk_cols, nb, self.cfg.hash_version)
             if len(np.unique(b)) == 1:
                 groups = [(int(b[0]), tbl)]
             else:
