@@ -86,3 +86,83 @@ class TestTrailingWindow:
         out = {r["event_id"]: r["n_trailing"]
                for r in trailing_window_counts(ds, window_seconds=3600).take_all()}
         assert out == {0: 1, 1: 3, 2: 3, 3: 3}
+
+
+def _skewed_events(n=4000, hot_frac=0.8, seed=3):
+    """One user owns hot_frac of all events (the pathological key)."""
+    rng = np.random.RandomState(seed)
+    n_hot = int(n * hot_frac)
+    users = np.concatenate([
+        np.zeros(n_hot, np.int64),
+        rng.randint(1, 50, n - n_hot).astype(np.int64),
+    ])
+    secs = np.sort(rng.randint(0, 200_000, n))
+    types = rng.choice(["click", "purchase", "view"], n, p=[0.5, 0.2, 0.3])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(
+                    (np.datetime64("2024-01-01T00:00:00", "us")
+                     + secs.astype("timedelta64[s]")).astype("datetime64[us]")
+                ),
+                "event_type": pa.array(types),
+                "value": pa.array(rng.randint(1, 100, n).astype(np.float64)),
+            }
+        )
+    )
+
+
+class TestSaltedEquivalence:
+    """Time-range salting must be EXACT: a skewed stream (one user = 80% of
+    events) produces identical results salted and unsalted."""
+
+    def _sorted(self, ds, cols):
+        df = ds.to_pandas().sort_values(cols).reset_index(drop=True)
+        return df[sorted(df.columns)]
+
+    def test_sessionize_salted_equals_unsalted(self, ray_session):
+        ds = _skewed_events()
+        a = self._sorted(sessionize(ds, gap_seconds=300),
+                         ["user_id", "session_id"])
+        b = self._sorted(sessionize(ds, gap_seconds=300, salt_seconds=3600),
+                         ["user_id", "session_id"])
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_sessionize_salt_narrower_than_gap(self, ray_session):
+        # sessions spanning several EMPTY buckets must still stitch
+        ds = _skewed_events()
+        a = self._sorted(sessionize(ds, gap_seconds=300),
+                         ["user_id", "session_id"])
+        b = self._sorted(sessionize(ds, gap_seconds=300, salt_seconds=60),
+                         ["user_id", "session_id"])
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_trailing_salted_equals_unsalted(self, ray_session):
+        from kafka_connect_jdbc_flatten_ray.stages.windows import (
+            trailing_window_counts,
+        )
+
+        ds = _skewed_events()
+        a = self._sorted(trailing_window_counts(ds, window_seconds=600),
+                         ["user_id", "event_id"])
+        b = self._sorted(
+            trailing_window_counts(ds, window_seconds=600, salt_seconds=600),
+            ["user_id", "event_id"],
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_asof_salted_equals_unsalted(self, ray_session):
+        ds = _skewed_events()
+        a = self._sorted(asof_join_last_value(ds), ["user_id", "event_id"])
+        b = self._sorted(asof_join_last_value(ds, salt_seconds=3600),
+                         ["user_id", "event_id"])
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_unsalted_guard_is_loud(self, ray_session):
+        import pytest as _pytest
+
+        ds = _skewed_events(n=500)
+        with _pytest.raises(Exception, match="salt_seconds"):
+            sessionize(ds, gap_seconds=300, max_group_rows=100).take_all()
