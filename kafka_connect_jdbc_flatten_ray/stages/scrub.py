@@ -159,23 +159,88 @@ def contamination_check(
     )
 
 
+def _bloom_positions(h: np.ndarray, m_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two bit positions per 64-bit hash (k=2 bloom; murmur3-style remix
+    for the second probe so the two positions are independent)."""
+    with np.errstate(over="ignore"):
+        h2 = ((h >> np.uint64(33)) ^ h) * np.uint64(0xFF51AFD7ED558CCD)
+    return h % np.uint64(m_bits), h2 % np.uint64(m_bits)
+
+
+def _bloom_test(bloom: np.ndarray, h: np.ndarray, m_bits: int) -> np.ndarray:
+    p1, p2 = _bloom_positions(h, m_bits)
+    b1 = (bloom[(p1 >> np.uint64(3)).astype(np.int64)]
+          >> (p1 & np.uint64(7)).astype(np.uint8)) & 1
+    b2 = (bloom[(p2 >> np.uint64(3)).astype(np.int64)]
+          >> (p2 & np.uint64(7)).astype(np.uint8)) & 1
+    return (b1 & b2).astype(bool)
+
+
+def build_benchmark_bloom(
+    benchmark: ray.data.Dataset, n: int = 8, m_bits: int = 1 << 27
+) -> np.ndarray:
+    """Fixed-size bloom bitset of the benchmark's word n-gram hashes,
+    built distributed: each batch sets bits in a local bitset, partials
+    OR-merge on the driver (bitset size is FIXED — 2^27 bits = 16 MB
+    default — regardless of benchmark size; size it so k*n_grams/m_bits
+    stays below ~1 for a useful false-positive rate)."""
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import _shingle_hashes_words
+
+    def _partial(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, _ = _shingle_hashes_words(text, k=n)
+        arr = np.zeros(m_bits // 8, np.uint8)
+        for p in _bloom_positions(np.unique(h), m_bits):
+            np.bitwise_or.at(
+                arr, (p >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
+            )
+        return pa.table({"bloom": pa.array([arr.tobytes()], pa.large_binary())})
+
+    acc = np.zeros(m_bits // 8, np.uint8)
+    for row in benchmark.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_rows():
+        acc |= np.frombuffer(row["bloom"], np.uint8)
+    return acc
+
+
 def contamination_check_distributed(
-    docs: ray.data.Dataset, benchmark: ray.data.Dataset, n: int = 8
+    docs: ray.data.Dataset, benchmark: ray.data.Dataset, n: int = 8,
+    prefilter_bloom_bits: int | None = 1 << 27,
 ) -> ray.data.Dataset:
     """Contamination against a benchmark CORPUS too large to broadcast:
     both sides emit (ngram_hash, …) rows, a groupby on the hash marks doc
     n-grams that any benchmark n-gram shares, and a per-doc sum aggregates
     hit counts. Exchange = 8-byte hashes (never text); same union +
     groupby shape as the dedup keep-set, so it is empty-block safe.
-    Output matches contamination_check for the same benchmark."""
+    Output matches contamination_check for the same benchmark.
+
+    ``prefilter_bloom_bits`` (default 2^27 = a 16 MB bitset) broadcasts a
+    bloom filter of the benchmark n-grams and drops the non-contaminated
+    majority of DOC n-grams before the exchange — false positives only
+    add exchange rows (the sharded membership test stays exact), so the
+    output is identical at any bitset size. None disables the prefilter."""
     from kafka_connect_jdbc_flatten_ray.stages.dedup import _shingle_hashes_words
     from ray.data.aggregate import Sum
+
+    bloom_ref = (
+        ray.put(build_benchmark_bloom(benchmark, n, prefilter_bloom_bits))
+        if prefilter_bloom_bits else None
+    )
+    m_bits = prefilter_bloom_bits
 
     def _doc_rows(t: pa.Table) -> pa.Table:
         text = t.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         h, parent = _shingle_hashes_words(text, k=n)
+        if bloom_ref is not None and len(h):
+            bloom = ray.get(bloom_ref)  # zero-copy from the local store
+            keep = _bloom_test(bloom, h, m_bits)
+            h, parent = h[keep], parent[keep]
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
