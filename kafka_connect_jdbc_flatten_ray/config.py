@@ -60,6 +60,13 @@ class SinkConfig:
     insert_mode: str = "upsert"  # insert | upsert | update
     delete_enabled: bool = True
     batch_size: int = 3000  # reference JDBC batch; informational here
+    # W6 retry budget (JdbcSinkConfig.java:98-105 max.retries /
+    # retry.backoff.ms): surfaced as Ray TASK retries on the flatten/merge
+    # stages — a worker or transient failure re-executes the task up to
+    # max_retries times, and the tmp+atomic publish keeps re-execution
+    # idempotent. Backoff is informational (Ray schedules retries itself).
+    max_retries: int = 10
+    retry_backoff_ms: int = 3000
     # value-field projection for the legacy sink (JdbcSinkConfig.java:188-196,
     # FieldsMetadata.java:144): empty = all value fields; pk fields always kept
     fields_whitelist: tuple[str, ...] = ()

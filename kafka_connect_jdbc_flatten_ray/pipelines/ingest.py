@@ -157,6 +157,7 @@ def flatten_envelopes(
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
+            max_retries=cfg.max_retries,
         )
     return events.map_batches(
         FlattenStage,
@@ -165,6 +166,7 @@ def flatten_envelopes(
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        max_task_retries=cfg.max_retries,
     )
 
 

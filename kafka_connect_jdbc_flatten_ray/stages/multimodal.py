@@ -111,7 +111,7 @@ class DecodeImage:
                     "real image decode requires PIL (not in this container); "
                     "only the FAKEIMG container format is supported"
                 )
-            raise NotImplementedError("real-codec decode path not wired yet")
+            return self._decode_real(batch)
         # 4-byte LE fields gathered without a per-row loop
         w_idx = starts[:, None] + hdr + np.arange(4)
         h_idx = w_idx + 4
@@ -142,6 +142,40 @@ class DecodeImage:
                 "mean_pixel": pa.array(means),
                 "pixel_hist": pa.FixedSizeListArray.from_arrays(
                     pa.array(hists.reshape(-1)), 16
+                ),
+            }
+        )
+
+
+    def _decode_real(self, batch: pa.Table) -> pa.Table:
+        """Real-codec branch (exercised only where PIL is installed — CI in
+        this container covers the FAKEIMG path; tests/test_multimodal.py
+        importorskips PIL): same output schema as the fake path, with
+        pixels taken from the luma (grayscale) conversion. Decode is
+        necessarily per-image (codec boundary); the histogram/mean math is
+        numpy per image."""
+        import io
+
+        col = batch.column("media")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        widths, heights, means, hists = [], [], [], []
+        for payload in col.to_pylist():
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            arr = np.asarray(img, np.uint8)
+            widths.append(img.width)
+            heights.append(img.height)
+            means.append(float(arr.mean()) if arr.size else 0.0)
+            hists.append(np.bincount((arr.reshape(-1) >> 4), minlength=16))
+        hist_mat = (np.vstack(hists) if hists
+                    else np.empty((0, 16), np.int64)).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array(np.array(widths, np.int32)),
+                "height": pa.array(np.array(heights, np.int32)),
+                "mean_pixel": pa.array(np.array(means, np.float64)),
+                "pixel_hist": pa.FixedSizeListArray.from_arrays(
+                    pa.array(hist_mat.reshape(-1)), 16
                 ),
             }
         )

@@ -75,3 +75,40 @@ class TestAudioFeatures:
         assert abs(r["rms"] - np.sqrt((1000**2 + 1000**2 + 500**2 + 500**2) / 4)) < 1e-9
         assert r["zero_crossings"] == 3
         assert r["peak"] == 1000
+
+
+class TestRealCodecSeam:
+    def test_pil_decode_matches_numpy(self):
+        """Runs only where PIL is installed (not this container — the
+        FAKEIMG path is the CI path); pins the real-codec branch to the
+        same schema and grayscale stats."""
+        PIL = pytest.importorskip("PIL")
+        import io
+
+        import numpy as np
+        import pyarrow as pa
+        from PIL import Image
+
+        from kafka_connect_jdbc_flatten_ray.stages.multimodal import DecodeImage
+
+        rng = np.random.RandomState(0)
+        payloads = []
+        arrs = []
+        for w, h in ((12, 9), (5, 7)):
+            arr = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr, "L").save(buf, format="PNG")
+            payloads.append(buf.getvalue())
+            arrs.append(arr)
+        batch = pa.table({
+            "media_id": pa.array([0, 1], pa.int64()),
+            "media": pa.array(payloads, pa.large_binary()),
+        })
+        out = DecodeImage()(batch).to_pylist()
+        for r, arr in zip(out, arrs):
+            assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
+            assert abs(r["mean_pixel"] - arr.mean()) < 1e-9
+            assert np.array_equal(
+                np.asarray(r["pixel_hist"]),
+                np.bincount(arr.reshape(-1) >> 4, minlength=16),
+            )
