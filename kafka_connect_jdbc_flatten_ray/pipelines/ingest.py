@@ -180,9 +180,24 @@ def table_state(
         return t.filter(pc.equal(t.column("table"), table))
 
     sub = envelopes.map_batches(_only, batch_format="pyarrow", zero_copy_batch=True)
-    return sub.groupby("bucket").map_groups(
+    merged = sub.groupby("bucket").map_groups(
         MergeRows(tp.key_pk_cols), batch_format="pyarrow"
     )
+    # conform every group's output to the PLAN's table schema: a bucket
+    # whose keys all predate a schema evolution would otherwise emit rows
+    # without the new columns (schema unification must not depend on which
+    # generations happen to share a bucket)
+    want = tp.data_schema()
+
+    def _conform(t: pa.Table) -> pa.Table:
+        for f in want:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        return t.select([f.name for f in want if f.name in t.column_names]
+                        + [c for c in t.column_names
+                           if c not in {f.name for f in want}])
+
+    return merged.map_batches(_conform, batch_format="pyarrow")
 
 
 def run_epoch(
