@@ -54,23 +54,64 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> _U64(31))
 
 
+_FNV = _U64(0x100000001B3)
+
+
+def _bytes_hash64(col: pa.Array) -> np.ndarray:
+    """Stable 64-bit hash per string/binary value, fully vectorized: one
+    gather builds a [n, min(maxlen, 64)]-byte padded matrix, a Horner loop
+    over BYTE POSITIONS (<= 64 vector ops, never per-row Python or the
+    exponent-by-squaring fingerprint) folds it, values longer than the cap
+    additionally fold their last 8 bytes; length is mixed in so prefixes
+    differ. Collisions only cost bucket skew, never correctness (bucketing
+    is coarse), so the 64-byte cap is safe."""
+    b = col.cast(pa.large_binary())
+    n = len(b)
+    if n == 0:
+        return np.empty(0, _U64)
+    off = np.frombuffer(b.buffers()[1], np.int64, count=n + 1, offset=b.offset * 8)
+    flat = np.frombuffer(
+        b.buffers()[2], np.uint8, count=int(off[-1] - off[0]), offset=int(off[0])
+    )
+    off = off - off[0]
+    lens = np.diff(off)
+    cap = min(int(lens.max()), 64) if len(flat) else 0
+    h = np.full(n, _U64(0xCBF29CE484222325), _U64)
+    with np.errstate(over="ignore"):
+        if cap:
+            idx = off[:-1, None] + np.arange(cap)
+            mask = np.arange(cap)[None, :] < lens[:, None]
+            mat = (flat[np.minimum(idx, len(flat) - 1)] * mask).astype(_U64)
+            mult = np.where(mask, _FNV, _U64(1))
+            for pos in range(cap):
+                h = h * mult[:, pos] + mat[:, pos]
+            long = lens > 64
+            if long.any():
+                tail = off[1:][long, None] - np.arange(8, 0, -1)
+                tmat = flat[tail].astype(_U64)
+                hl = h[long]
+                for k in range(8):
+                    hl = hl * _FNV + tmat[:, k]
+                h[long] = hl
+        h = h ^ lens.astype(_U64)
+    return _splitmix64(h)
+
+
 def _col_hash64(col) -> np.ndarray:
     """Deterministic per-row 64-bit hash of one column, Arrow-native:
     strings/binary hash only their UNIQUE values (dictionary encode +
-    polynomial fingerprint, the dedup-stage pattern) then gather; numeric
-    and temporal types use their bit pattern; nulls a fixed sentinel."""
+    vectorized byte-matrix Horner) then gather; numeric and temporal
+    types use their bit pattern; nulls a fixed sentinel."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        from kafka_connect_jdbc_flatten_ray.stages.dedup import _fingerprints
-
         d = pc.dictionary_encode(col)
         if isinstance(d, pa.ChunkedArray):
             d = d.combine_chunks()
         if len(d.dictionary) == 0:
             return np.full(len(col), _NULL_SENTINEL, _U64)
-        hd, _ = _fingerprints(d.dictionary)
+        hd = _bytes_hash64(d.dictionary)
         idx = d.indices
         if idx.null_count:
             hd = np.concatenate([hd, [_NULL_SENTINEL]])
