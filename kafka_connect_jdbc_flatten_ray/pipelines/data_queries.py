@@ -555,8 +555,12 @@ def data_oracles() -> dict:
         "dedup_minhash_keep": dedup_oracles.minhash_keep_sql(0.95),
         "dedup_minhash_clusters": dedup_oracles.minhash_clusters_sql(0.9),
         "media_image_decode": dedup_oracles.image_decode_sql(),
-        # still rows-only: embedding pairs (float32 hyperplane sign bits SQL
-        # can't reproduce bit-stably), HLL distinct + IVF (approximate by
-        # design); each has a second independent Python reference in
+        # embedding LSH: plane constants inlined, f64 buckets/cosines with
+        # the cosine rounded to 6 decimals before thresholding on both
+        # sides (dim=64 matches every testdata scale factor)
+        "dedup_embedding_pairs": dedup_oracles.embedding_pairs_sql(0.35, 64),
+        "dedup_embedding_pairs_slim": dedup_oracles.embedding_pairs_sql(0.35, 64),
+        # still rows-only: HLL distinct + IVF (approximate by design);
+        # each has a second independent Python reference in
         # tests/test_reference_impls.py
     }

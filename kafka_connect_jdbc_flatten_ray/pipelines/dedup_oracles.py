@@ -289,3 +289,63 @@ SELECT doc_id AS media_id,
        CAST(list_position(hs, list_max(hs)) - 1 AS BIGINT) AS modal_bucket,
        CAST(list_max(hs) AS BIGINT) AS modal_count
 FROM hist"""
+
+
+def embedding_pairs_sql(
+    threshold: float = 0.35, dim: int = 32,
+    num_planes: int = 10, num_tables: int = 8,
+) -> str:
+    """Mirror of dedup_embedding_pairs / _slim: the random-hyperplane LSH
+    is deterministic once the plane constants (RandomState(99) float32
+    values, carried in float64) are inlined as literals, and the engine
+    computes buckets and cosines in float64 with the cosine ROUNDED to 6
+    decimals before thresholding — so the last-ulp summation-order
+    differences between numpy BLAS and DuckDB's list_inner_product cannot
+    flip a keep/drop decision (only a value exactly on a rounding boundary
+    could, measure-zero in practice)."""
+    rng = np.random.RandomState(99)
+    planes = rng.standard_normal(
+        (num_tables, dim, num_planes)
+    ).astype(np.float32).astype(np.float64)
+    rows = []
+    for t in range(num_tables):
+        for p in range(num_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[t, :, p])
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH planes(table_id, plane_id, pvec) AS (
+  VALUES {values}
+),
+unitv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      greatest(sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 1e-12)) AS u
+  FROM embeddings
+),
+buckets AS (
+  SELECT u.vec_id, p.table_id,
+         CAST(sum(CASE WHEN list_inner_product(u.u, p.pvec) > 0
+                  THEN 1 << p.plane_id ELSE 0 END) AS INTEGER) AS bucket
+  FROM unitv u CROSS JOIN planes p
+  GROUP BY u.vec_id, p.table_id
+),
+eheads AS (
+  SELECT table_id, bucket, min(vec_id) AS head
+  FROM buckets GROUP BY table_id, bucket
+),
+ecand AS (
+  SELECT DISTINCT h.head AS vec_a, b.vec_id AS vec_b
+  FROM buckets b
+  JOIN eheads h ON h.table_id = b.table_id AND h.bucket = b.bucket
+  WHERE b.vec_id <> h.head
+),
+ecos AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_inner_product(ua.u, ub.u), 6) AS cos
+  FROM ecand c
+  JOIN unitv ua ON ua.vec_id = c.vec_a
+  JOIN unitv ub ON ub.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cos FROM ecos WHERE cos >= {threshold}"""

@@ -753,14 +753,20 @@ class HyperplaneBucket:
         rng = np.random.RandomState(99)
         self.num_planes = num_planes
         self.num_tables = num_tables
+        # float32-quantized plane values carried in float64: the entire
+        # bucket/cosine computation stays in f64 so the DuckDB oracle
+        # (same plane literals, f64 list_inner_product) reproduces it
         self.planes = rng.standard_normal(
             (num_tables, dim, num_planes)
-        ).astype(np.float32)
+        ).astype(np.float32).astype(np.float64)
+
+    def _units(self, batch: pa.Table) -> np.ndarray:
+        mat = fsl_to_numpy(batch.column("embedding"), np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat / np.maximum(norms, 1e-12)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = fsl_to_numpy(batch.column("embedding"))
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        unit = (mat / np.maximum(norms, 1e-12)).astype(np.float32)
+        unit = self._units(batch)
         n = len(unit)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         weights = 1 << np.arange(self.num_planes)
@@ -770,7 +776,8 @@ class HyperplaneBucket:
             buckets.append(bits @ weights)
             tables.append(np.full(n, t, np.int32))
         vec = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.tile(unit, (self.num_tables, 1)).reshape(-1)), mat.shape[1]
+            pa.array(np.tile(unit, (self.num_tables, 1)).reshape(-1)),
+            unit.shape[1],
         )
         return pa.table(
             {
@@ -809,12 +816,14 @@ def _sharded_cosine_pairs(threshold: float):
         member = ~new_bucket
         if not member.any():
             return empty
-        # float64 accumulation, matching the slim variant's verify exactly
+        # float64 accumulation, matching the slim variant's verify exactly;
+        # rounded to 6 decimals BEFORE the threshold so the value (and the
+        # borderline keep/drop decision) is oracle-comparable
         cos = np.einsum(
             "ij,ij->i",
             mat_s[member].astype(np.float64),
             mat_s[head_of[member]].astype(np.float64),
-        )
+        ).round(6)
         keep = cos >= threshold
         if not keep.any():
             return empty
@@ -861,9 +870,7 @@ class HyperplaneBucketIds(HyperplaneBucket):
     vector replicated once per table (8x dim floats)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = fsl_to_numpy(batch.column("embedding"))
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        unit = (mat / np.maximum(norms, 1e-12)).astype(np.float32)
+        unit = self._units(batch)
         n = len(unit)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         weights = 1 << np.arange(self.num_planes)
@@ -935,11 +942,13 @@ def dedup_embedding_pairs_slim(
     def _unit_rows(t: pa.Table) -> pa.Table:
         # unit vectors as fixed-width binary blobs: the acero hash join
         # rejects nested (list) payload columns, and a binary column also
-        # moves through the exchange with zero per-element overhead
-        mat = fsl_to_numpy(t.column("embedding"))
+        # moves through the exchange with zero per-element overhead.
+        # f8 (not f4) so the verify matches the dense/oracle f64 cosine
+        # bit-for-bit; the exchange still carries each vector only once.
+        mat = fsl_to_numpy(t.column("embedding"), np.float64)
         unit = (mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12))
-        blob = unit.astype("<f4").tobytes()
-        width = mat.shape[1] * 4
+        blob = unit.astype("<f8").tobytes()
+        width = mat.shape[1] * 8
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
@@ -1012,7 +1021,7 @@ def dedup_embedding_pairs_slim(
         bb = df[df["side"] == 1]
         if aa.empty or bb.empty:
             return empty
-        ua = np.frombuffer(aa["blob"].iloc[0], dtype="<f4").astype(np.float64)
+        ua = np.frombuffer(aa["blob"].iloc[0], dtype="<f8")
         bb = bb.sort_values("vec_b")
         # one row per vec_b on each side; align b-side rows to a-side set
         keep_b = bb["vec_b"].isin(set(aa["vec_b"]))
@@ -1020,9 +1029,9 @@ def dedup_embedding_pairs_slim(
         if bb.empty:
             return empty
         mb = np.frombuffer(
-            b"".join(bb["blob"]), dtype="<f4"
-        ).reshape(len(bb), -1).astype(np.float64)
-        cos = mb @ ua
+            b"".join(bb["blob"]), dtype="<f8"
+        ).reshape(len(bb), -1)
+        cos = (mb @ ua).round(6)
         sel = cos >= threshold
         return pd.DataFrame(
             {

@@ -65,3 +65,18 @@ class TestImageDecodeOracle:
                  dedup_oracles.image_decode_sql(),
                  ["media_id"])
         assert n == 500
+
+
+class TestEmbeddingOracle:
+    def test_pairs_match_sql(self, ray_session, sf_dir):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        _cmp(dedup.dedup_embedding_pairs(emb, 64, threshold=0.35),
+             con, dedup_oracles.embedding_pairs_sql(0.35, 64),
+             ["vec_a", "vec_b"])
