@@ -134,11 +134,11 @@ def run_queries() -> dict:
     return timings
 
 
-def run_single() -> dict:
+def run_single(headline_only: bool = False) -> dict:
     _init_ray()
     _warm_cache()
     h = headline()
-    qt = run_queries()
+    qt = {} if headline_only else run_queries()
     out = {
         "metric": "cdc_flatten_upsert_replay",
         "value": round(h["sec"], 3),
@@ -155,31 +155,56 @@ def run_single() -> dict:
     return out
 
 
-def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+def run_scaling(repeats: int = 3) -> dict:
+    """N -> 4N evidence: the HEADLINE job (only — the per-query suite
+    would just add inter-leg load) in a fresh process per measurement,
+    ``repeats`` times per parallelism level, levels INTERLEAVED so a
+    transient co-tenant spike on the shared host hits both levels alike.
+    Efficiency is computed from the per-level MINIMUM: external
+    contention only ever ADDS wall time, so the minimum is the closest
+    observation to the machine's true capability; all raw samples are
+    reported alongside so the spread is visible."""
+
+    def run(ncpu: int) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return float(json.loads(out.strip().splitlines()[-1])["value"])
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    runs_8, runs_32 = [], []
+    for _ in range(repeats):
+        runs_8.append(run(8))
+        runs_32.append(run(32))
+    sec_8, sec_32 = min(runs_8), min(runs_32)
+    eff = (sec_8 / sec_32) / (32 / 8)
+    import pyarrow.parquet as pq
+
+    did = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    n_events = int(((did % 3) + 1 + (did % 7 == 0)).sum()) * REPLICATE
     return {
         "metric": "scaling_8_to_32_cpus",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "events_per_sec_8": lo["events_per_sec"],
-        "events_per_sec_32": hi["events_per_sec"],
+        "sec_8": sec_8,
+        "sec_32": sec_32,
+        "runs_8": runs_8,
+        "runs_32": runs_32,
+        "events_per_sec_8": round(n_events / sec_8, 1),
+        "events_per_sec_32": round(n_events / sec_32, 1),
         "scaling_efficiency": round(eff, 3),
-        "events": hi["events"],
+        "events": n_events,
         "sf": SF_DIR,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        idx = sys.argv.index("--scaling")
+        reps = (int(sys.argv[idx + 1])
+                if len(sys.argv) > idx + 1 and sys.argv[idx + 1].isdigit() else 3)
+        print(json.dumps(run_scaling(reps)))
     else:
-        print(json.dumps(run_single()))
+        print(json.dumps(run_single(os.environ.get("BENCH_HEADLINE_ONLY") == "1")))
