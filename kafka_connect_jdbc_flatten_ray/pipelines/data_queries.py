@@ -560,7 +560,9 @@ def data_oracles() -> dict:
         # sides (dim=64 matches every testdata scale factor)
         "dedup_embedding_pairs": dedup_oracles.embedding_pairs_sql(0.35, 64),
         "dedup_embedding_pairs_slim": dedup_oracles.embedding_pairs_sql(0.35, 64),
-        # still rows-only: HLL distinct + IVF (approximate by design);
-        # each has a second independent Python reference in
-        # tests/test_reference_impls.py
+        # IVF with the SQL-stated centroid-sample rule is exactly checkable
+        "ann_topk_ivf": dedup_oracles.ivf_topk_sql(),
+        # still rows-only: the HLL distinct sketch (estimate by design) and
+        # the k-means-TRAINED IVF (iterative training); each has a second
+        # independent Python reference / recall test
     }

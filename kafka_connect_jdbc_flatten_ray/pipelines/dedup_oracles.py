@@ -349,3 +349,69 @@ ecos AS (
   JOIN unitv ub ON ub.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cos FROM ecos WHERE cos >= {threshold}"""
+
+
+def ivf_topk_sql(
+    k: int = 5, num_queries: int = 8, num_centroids: int = 16,
+    nprobe: int = 4, sample_cap: int = 1024,
+) -> str:
+    """Mirror of ann_topk_ivf (sampled-centroid variant): the centroid
+    sample is `vec_id < sample_cap` sorted by vec_id, every (n // C)-th
+    row — a rule SQL can state exactly — and assignment/probe ties break
+    on (similarity DESC, centroid-id ASC), matching the engine's stable
+    argsort/argmax. Cosines round to 6 decimals before ranking, as in the
+    brute-force oracle. The k-means-trained variant stays rows-only (the
+    training is iterative)."""
+    return f"""
+WITH unitv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      greatest(sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 1e-12)) AS u
+  FROM embeddings
+),
+samp AS (
+  SELECT vec_id, u,
+         row_number() OVER (ORDER BY vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM unitv WHERE vec_id < {sample_cap}
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, u
+  FROM samp
+  WHERE (rn - 1) % greatest(n // {num_centroids}, 1) = 0
+  ORDER BY vec_id LIMIT {num_centroids}
+),
+assign AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_inner_product(v.u, c.u) DESC, c.cid)
+           AS r
+  FROM unitv v CROSS JOIN cents c
+),
+vbucket AS (SELECT vec_id, cid AS bucket FROM assign WHERE r = 1),
+qset AS (SELECT vec_id AS qid, u AS qu FROM unitv WHERE vec_id < {num_queries}),
+probe AS (
+  SELECT q.qid, c.cid,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY list_inner_product(q.qu, c.u) DESC, c.cid)
+           AS pr
+  FROM qset q CROSS JOIN cents c
+),
+icand AS (
+  SELECT p.qid, vb.vec_id
+  FROM probe p JOIN vbucket vb ON vb.bucket = p.cid
+  WHERE p.pr <= {nprobe} AND vb.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid AS query_id, c.vec_id,
+         round(list_inner_product(q.qu, v.u), 6) AS cos
+  FROM icand c
+  JOIN qset q ON q.qid = c.qid
+  JOIN unitv v ON v.vec_id = c.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, cos
+FROM scored QUALIFY rank <= {k}"""

@@ -132,17 +132,29 @@ class IVFAssign:
         )
 
 
-def ivf_centroids(sf_dir: str, num_centroids: int = 16) -> np.ndarray:
-    """Deterministic coarse centroids from a BOUNDED sample: only the first
-    Parquet row group is read (never the whole table — at 100 TB the old
-    full read is a driver OOM), and every (sample // C)-th vector of it is
-    taken, normalized. Centroid quality only affects recall (probing more
-    buckets compensates); the scale path would k-means a reservoir sample
-    instead, but the read-bound contract is the same."""
-    import pyarrow.parquet as pq
+#: bounded centroid-sample size: `vec_id < SAMPLE_CAP` is pushed into the
+#: Parquet scan (row-group pruning), so the driver reads only the row
+#: groups containing those ids — never the whole table
+SAMPLE_CAP = 1024
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    t = pf.read_row_group(0, columns=["embedding"])
+
+def ivf_centroids(sf_dir: str, num_centroids: int = 16) -> np.ndarray:
+    """Deterministic coarse centroids from a BOUNDED sample: the vectors
+    with ``vec_id < SAMPLE_CAP`` (predicate pushdown -> row-group stats
+    pruning; at 100 TB this reads a handful of row groups, never the
+    table), sorted by vec_id, every (n // C)-th taken, normalized. The
+    sample rule is expressible in SQL, which is what makes the IVF search
+    exactly oracle-checkable (pipelines/dedup_oracles.ivf_topk_sql).
+    Centroid quality only affects recall (probing more buckets
+    compensates); the scale path would k-means a reservoir sample instead
+    (ivf_centroids_trained), with the same read-bound contract."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pds.field("vec_id") < SAMPLE_CAP,
+    ).sort_by("vec_id")
     m = _unit(_mat(t.column("embedding")))
     step = max(1, len(m) // num_centroids)
     return m[::step][:num_centroids]
@@ -174,7 +186,9 @@ def ann_topk_ivf(
         if train else ivf_centroids(sf_dir, num_centroids)
     )
     q_ids, q_mat = load_queries(sf_dir, num_queries)
-    probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]  # [Q, nprobe]
+    # stable sort: centroid-id ascending on similarity ties, matching the
+    # SQL oracle's (sim DESC, cid ASC) ordering deterministically
+    probe = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :nprobe]
     cref = ray.put(cents)
     # queries grouped by the buckets they probe
     bucket_to_q: dict[int, list[int]] = {}

@@ -80,3 +80,15 @@ class TestEmbeddingOracle:
         _cmp(dedup.dedup_embedding_pairs(emb, 64, threshold=0.35),
              con, dedup_oracles.embedding_pairs_sql(0.35, 64),
              ["vec_a", "vec_b"])
+
+    def test_ivf_matches_sql(self, ray_session, sf_dir):
+        from kafka_connect_jdbc_flatten_ray.stages import ann
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        _cmp(ann.ann_topk_ivf(sf_dir, k=5, num_queries=8),
+             con, dedup_oracles.ivf_topk_sql(),
+             ["query_id", "rank"])
