@@ -55,6 +55,30 @@ def main() -> None:
         "root_rows": n,
         "events_per_sec": round(10714 * args.replicate / sec, 1),
     }))
+
+    # LSH dedup on the virtual cluster: the groupby-heavy star-pairing
+    # path crosses node boundaries (bucket shards land on all 4 nodes)
+    import ray.data as rd
+
+    from kafka_connect_jdbc_flatten_ray.stages import dedup, windows
+
+    docs = rd.read_parquet(f"{args.sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    n_pairs = dedup.dedup_minhash_pairs(docs, threshold=0.5).count()
+    print(json.dumps({"dedup_minhash_pairs": n_pairs,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+
+    # salted sessionize: sub-session stitch moves summaries across nodes
+    ev = rd.read_parquet(f"{args.sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    t0 = time.perf_counter()
+    a = windows.sessionize(ev, gap_seconds=1800).count()
+    b = windows.sessionize(ev, gap_seconds=1800, salt_seconds=3600).count()
+    print(json.dumps({"sessions_unsalted": a, "sessions_salted": b,
+                      "equal": a == b,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert a == b, "salted sessionize diverged on the virtual cluster"
     ray.shutdown()
     cluster.shutdown()
 
