@@ -562,7 +562,10 @@ def data_oracles() -> dict:
         "dedup_embedding_pairs_slim": dedup_oracles.embedding_pairs_sql(0.35, 64),
         # IVF with the SQL-stated centroid-sample rule is exactly checkable
         "ann_topk_ivf": dedup_oracles.ivf_topk_sql(),
-        # still rows-only: the HLL distinct sketch (estimate by design) and
-        # the k-means-TRAINED IVF (iterative training); each has a second
-        # independent Python reference / recall test
+        # the HLL ESTIMATE is deterministic given the splitmix64 value hash
+        # — the oracle reproduces registers and the harmonic/linear-count
+        # estimate exactly (approximate vs TRUTH, exact vs the engine)
+        "approx_distinct_users": dedup_oracles.hll_distinct_sql(),
+        # still rows-only: the k-means-TRAINED IVF (iterative training);
+        # recall-tested against the brute-force oracle
     }

@@ -415,3 +415,63 @@ SELECT query_id,
                                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
        vec_id, cos
 FROM scored QUALIFY rank <= {k}"""
+
+
+def hll_distinct_sql(column: str = "user_id", table: str = "events",
+                     p: int = 12) -> str:
+    """Mirror of approx_distinct (stages/sketches.py): splitmix64 of the
+    id's bit pattern (HUGEINT split-multiply for the two 64-bit constant
+    products, UBIGINT for the xor-shifts), register index = top p bits,
+    rho from floor(log2(w)) on the remaining bits left-aligned — w always
+    carries <= 52 significant bits (the low p are zero), so the double is
+    exact and numpy and DuckDB hit the same libm log2 — then the standard
+    harmonic estimate with the linear-counting small-range correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c1 = 0xBF58476D1CE4E5B9
+    c2 = 0x94D049BB133111EB
+    return f"""
+WITH z0 AS (
+  SELECT (CAST(CAST({column} AS BIGINT) AS HUGEINT)
+          + CAST('11400714819323198485' AS HUGEINT)) % {_MSTR} AS z
+  FROM {table}
+),
+z1 AS (
+  SELECT CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
+  FROM z0
+),
+z2 AS (SELECT {_mul('z', c1)} AS z FROM z1),
+z3 AS (
+  SELECT CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
+  FROM z2
+),
+z4 AS (SELECT {_mul('z', c2)} AS z FROM z3),
+h AS (
+  SELECT CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS HUGEINT) AS h
+  FROM z4
+),
+rhos AS (
+  SELECT CAST(h >> {64 - p} AS BIGINT) AS idx,
+         CASE WHEN h % CAST('{1 << (64 - p)}' AS HUGEINT) = 0
+              THEN {64 - p + 1}
+              ELSE 63 - CAST(floor(log2(CAST((h % CAST('{1 << (64 - p)}' AS HUGEINT))
+                                             * CAST({1 << p} AS HUGEINT) AS DOUBLE)))
+                             AS BIGINT) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT idx, max(rho) AS r FROM rhos GROUP BY idx),
+agg AS (
+  SELECT sum(power(2.0, -r)) AS present_sum,
+         count(*) AS n_present
+  FROM regs
+),
+est AS (
+  SELECT CAST({alpha!r} AS DOUBLE) * {m} * {m}
+           / (present_sum + ({m} - n_present)) AS raw,
+         {m} - n_present AS zeros
+  FROM agg
+)
+SELECT CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                  THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                  ELSE raw END) AS BIGINT) AS approx_distinct
+FROM est"""

@@ -18,6 +18,16 @@ _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 
 def _hash64(values: np.ndarray) -> np.ndarray:
+    """splitmix64 of the int64/uint64 bit pattern (the engine's own mixer,
+    functions/hashing.py) — SQL-reproducible, which is what lets the HLL
+    estimate have an exact DuckDB oracle (dedup_oracles.hll_distinct_sql);
+    non-integer inputs fall back to the pandas hash (still deterministic,
+    just not mirrored in SQL)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u"):
+        from kafka_connect_jdbc_flatten_ray.functions.hashing import _splitmix64
+
+        return _splitmix64(arr.astype(np.int64).view(np.uint64))
     return pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy()
 
 

@@ -92,3 +92,18 @@ class TestEmbeddingOracle:
         _cmp(ann.ann_topk_ivf(sf_dir, k=5, num_queries=8),
              con, dedup_oracles.ivf_topk_sql(),
              ["query_id", "rank"])
+
+    def test_hll_matches_sql(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from kafka_connect_jdbc_flatten_ray.stages.sketches import approx_distinct
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        got = int(approx_distinct(ds, "user_id")["approx_distinct"][0])
+        want = con.execute(dedup_oracles.hll_distinct_sql()).fetchone()[0]
+        assert got == want
