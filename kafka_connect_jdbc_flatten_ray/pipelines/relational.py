@@ -408,6 +408,39 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def user_sessions_incremental(sf_dir: str) -> ray.data.Dataset:
+    """The SAME session windows computed INCREMENTALLY: the event stream is
+    split into three event-time epochs and folded one epoch at a time into
+    lake-resident per-key session state (stages/streaming_windows.py —
+    manifest-committed, CAS-guarded, resumable); closed ∪ open sessions
+    must equal the batch computation, so this shares ORACLE_USER_SESSIONS
+    verbatim."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_windows as sw
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_id", "ts"])
+    tsi = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    q1, q2 = np.quantile(tsi, [0.33, 0.66])
+    root = tempfile.mkdtemp(prefix="kcjf_sessions_")
+    for part in (
+        t.filter(pa.array(tsi <= q1)),
+        t.filter(pa.array((tsi > q1) & (tsi <= q2))),
+        t.filter(pa.array(tsi > q2)),
+    ):
+        sw.sessionize_epoch(ray.data.from_arrow(part), root, gap_seconds=1800)
+    return sw.read_sessions(root).map_batches(
+        lambda b: b.select(
+            ["user_id", "session_id", "n_events", "session_start", "session_end"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def clicks_asof_purchase(sf_dir: str) -> ray.data.Dataset:
     """AS-OF join within the event stream: each click joined to the most
     recent strictly-earlier purchase's value for the same user."""
@@ -530,6 +563,7 @@ def relational_queries() -> dict:
         "passthrough_fields_whitelist": passthrough_fields_whitelist,
         "passthrough_update": passthrough_update,
         "user_sessions": user_sessions,
+        "user_sessions_incremental": user_sessions_incremental,
         "clicks_asof_purchase": clicks_asof_purchase,
         "user_trailing_hour": user_trailing_hour,
         "stratified_sample_docs": stratified_sample_docs,
@@ -551,6 +585,7 @@ def relational_oracles() -> dict:
         "passthrough_fields_whitelist": ORACLE_PASSTHROUGH_FIELDS_WHITELIST,
         "passthrough_update": ORACLE_PASSTHROUGH_UPDATE,
         "user_sessions": ORACLE_USER_SESSIONS,
+        "user_sessions_incremental": ORACLE_USER_SESSIONS,
         "clicks_asof_purchase": ORACLE_CLICKS_ASOF,
         "user_trailing_hour": ORACLE_USER_TRAILING_HOUR,
         "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,

@@ -1,0 +1,278 @@
+"""Incremental (epoch-at-a-time) sessionization with lake-resident state.
+
+The batch sessionize (stages/windows.py) recomputes every session from the
+full history; a streaming-ingest engine should fold ONLY the new epoch's
+events into per-key session state, the same way the CDC path folds new
+ops into bucket files. State here is a lake table managed by the same
+manifest machinery as the ingest lake (epoch lineage, atomic publish,
+single-writer CAS):
+
+    session_state/bucket=N/epoch-M.parquet   one OPEN session per key
+    session_state/.../epoch-M.closed.parquet sessions closed by epoch M
+    session_state/manifest.json              buckets -> current state file,
+                                             "deltas" -> append-only closed
+                                             files, epochs -> lineage
+
+``sessionize_epoch`` buckets the epoch's events by the engine's stable
+key hash, reads each touched bucket's prior state INSIDE the fold task
+(no driver materialization), extends/closes sessions, and publishes new
+state + closed files under one manifest epoch. ``read_sessions`` returns
+closed ∪ open — equal, row for row, to batch sessionize over all events
+folded so far.
+
+WATERMARK ASSUMPTION: each key's events may arrive in any order WITHIN an
+epoch (the fold sorts), but epochs are per-key time-ordered — an event in
+epoch N at time t only continues the open session if t is not more than
+``gap_seconds`` before that session's recorded end; a genuinely late
+event older than the closed history would start a spurious session (the
+same trade every watermark-based streaming sessionizer makes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+STATE_TABLE = "session_state"
+
+_STATE_SCHEMA_COLS = ["key", "session_id", "n_events",
+                      "session_start", "session_end"]
+
+
+def _empty_sessions(key_name: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            key_name: pd.Series([], dtype="int64"),
+            "session_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "session_start": pd.Series([], dtype="datetime64[us]"),
+            "session_end": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+
+
+def _fold_bucket(
+    ev: pd.DataFrame, state: pd.DataFrame, key: str, ts: str,
+    tiebreak: str, gap_us: int,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(new open state, closed sessions) after folding one bucket's epoch
+    events into its prior open-session state. Vectorized across keys."""
+    ev = ev.sort_values([key, ts, tiebreak], kind="stable")
+    k = ev[key].to_numpy()
+    t = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+    n = len(ev)
+    first_of_key = np.concatenate(([True], k[1:] != k[:-1]))
+    gap_break = np.concatenate(([False], (t[1:] - t[:-1]) > gap_us))
+    # prior open state lookup for each key's first event
+    st = state.set_index(key) if len(state) else state
+    st_keys = set(st.index) if len(state) else set()
+    kf = k[first_of_key]
+    tf = t[first_of_key]
+    if len(state):
+        st_end = st["session_end"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        end_by_key = dict(zip(st.index.to_numpy(), st_end))
+        seq_by_key = dict(zip(st.index.to_numpy(), st["session_id"].to_numpy()))
+        start_by_key = dict(zip(
+            st.index.to_numpy(),
+            st["session_start"].to_numpy().astype("datetime64[us]"),
+        ))
+        nev_by_key = dict(zip(st.index.to_numpy(), st["n_events"].to_numpy()))
+    else:
+        end_by_key, seq_by_key, start_by_key, nev_by_key = {}, {}, {}, {}
+    cont_first = np.array(
+        [kk in st_keys and tt - end_by_key[kk] <= gap_us
+         for kk, tt in zip(kf, tf)], bool,
+    )
+    # every key's first event opens a segment; later events open one on a
+    # gap break. Segments are per-key by construction (first_of_key).
+    seg_start_flag = first_of_key | gap_break
+    seg_id = np.cumsum(seg_start_flag) - 1
+    n_segs = seg_id[-1] + 1 if n else 0
+    seg_key = k[seg_start_flag]
+    seg_min = np.full(n_segs, np.iinfo(np.int64).max, np.int64)
+    seg_max = np.full(n_segs, np.iinfo(np.int64).min, np.int64)
+    seg_n = np.zeros(n_segs, np.int64)
+    np.minimum.at(seg_min, seg_id, t)
+    np.maximum.at(seg_max, seg_id, t)
+    np.add.at(seg_n, seg_id, 1)
+    # per-key segment ordinal + whether the key's FIRST segment continues
+    # the stored open session
+    seg_first_of_key = first_of_key[seg_start_flag]
+    seg_ord = np.arange(n_segs) - np.maximum.accumulate(
+        np.where(seg_first_of_key, np.arange(n_segs), -1)
+    )
+    seg_cont = np.zeros(n_segs, bool)
+    seg_cont[np.flatnonzero(seg_first_of_key)] = cont_first
+    # session numbering: base seq per key — the key's stored seq if its
+    # first segment continues the open session, stored seq + 1 if the open
+    # session closes, 0 for unseen keys
+    if n_segs:
+        first_seg_idx = np.maximum.accumulate(
+            np.where(seg_first_of_key, np.arange(n_segs), -1)
+        )
+        key_cont = seg_cont[first_seg_idx]  # per segment: key continues?
+        base = np.array(
+            [
+                (seq_by_key[kk] + (0 if co else 1)) if kk in seq_by_key else 0
+                for kk, co in zip(seg_key, key_cont)
+            ],
+            np.int64,
+        )
+    else:
+        base = np.empty(0, np.int64)
+    seq = base + seg_ord
+    # merge continuing segments with their stored session
+    starts = seg_min.astype("datetime64[us]")
+    nevs = seg_n.copy()
+    for i in np.flatnonzero(seg_cont):
+        kk = seg_key[i]
+        starts[i] = min(starts[i], np.datetime64(start_by_key[kk], "us"))
+        nevs[i] += nev_by_key[kk]
+    ends = seg_max.astype("datetime64[us]")
+    sessions = pd.DataFrame(
+        {
+            key: seg_key,
+            "session_id": seq,
+            "n_events": nevs,
+            "session_start": starts,
+            "session_end": ends,
+        }
+    )
+    # the LAST segment of each key stays open; earlier ones close
+    last_of_key = np.concatenate(
+        (seg_key[1:] != seg_key[:-1], [True])
+    ) if n_segs else np.empty(0, bool)
+    new_open = sessions[last_of_key]
+    closed = sessions[~last_of_key]
+    # stored sessions NOT continued by their key's first event close now
+    touched = set(kf)
+    stale = [kk for kk, co in zip(kf, cont_first) if kk in st_keys and not co]
+    closed_stale = (
+        st.loc[stale].reset_index()[
+            [key, "session_id", "n_events", "session_start", "session_end"]
+        ] if stale else _empty_sessions(key)
+    )
+    # untouched keys keep their open session
+    carried = (
+        st.loc[[kk for kk in st.index if kk not in touched]].reset_index()[
+            [key, "session_id", "n_events", "session_start", "session_end"]
+        ] if len(state) else _empty_sessions(key)
+    )
+    open_out = pd.concat([new_open, carried], ignore_index=True)
+    closed_out = pd.concat([closed, closed_stale], ignore_index=True)
+    return open_out, closed_out
+
+
+def sessionize_epoch(
+    events: ray.data.Dataset,
+    state_root: str,
+    gap_seconds: int = 1800,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch of events into the lake-resident session state.
+
+    Distributed: events bucket by the engine's stable key hash, one fold
+    task per touched bucket reads that bucket's prior state file (path
+    resolved through the manifest, read inside the task), and the commit
+    is a manifest swap guarded by the single-writer CAS. Buckets without
+    events this epoch keep their previous state file untouched."""
+    from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    manifest = TableManifest(state_root, STATE_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    gap_us = gap_seconds * 1_000_000
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        h = stable_row_hash(t, (key,))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        prior_path = prior.get(bucket)
+        state = (
+            pq.read_table(prior_path, filesystem=fs).to_pandas()
+            if prior_path else _empty_sessions(key)
+        )
+        open_out, closed_out = _fold_bucket(
+            g.drop(columns="__bucket"), state, key, ts, tiebreak, gap_us
+        )
+        out_dir = fsx.join(root, STATE_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        pq.write_table(pa.Table.from_pandas(open_out, preserve_index=False),
+                       staged, filesystem=fs)
+        fsx.publish_file(fs, staged, state_path)
+        closed_path = ""
+        if len(closed_out):
+            closed_path = fsx.join(out_dir, f"epoch-{epoch:06d}.closed.parquet")
+            staged = fsx.staging_path(fs, closed_path)
+            pq.write_table(
+                pa.Table.from_pandas(closed_out, preserve_index=False),
+                staged, filesystem=fs,
+            )
+            fsx.publish_file(fs, staged, closed_path)
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "state_path": [state_path],
+                "closed_path": [closed_path],
+                "open_sessions": [len(open_out)],
+                "closed_sessions": [len(closed_out)],
+            }
+        )
+
+    _fold.__name__ = "sessionize_fold"
+    stats = (
+        events.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pandas")
+        .take_all()
+    )
+    bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
+    closed_files = {
+        int(r["bucket"]): r["closed_path"] for r in stats if r["closed_path"]
+    }
+    manifest.publish(
+        epoch, bucket_files,
+        {
+            "open_sessions": int(sum(r["open_sessions"] for r in stats)),
+            "closed_sessions": int(sum(r["closed_sessions"] for r in stats)),
+        },
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
+                      "hash_version": 2},
+        delta_files=closed_files,
+    )
+    return {
+        "epoch": epoch,
+        "buckets": len(bucket_files),
+        "open_sessions": int(sum(r["open_sessions"] for r in stats)),
+        "closed_sessions": int(sum(r["closed_sessions"] for r in stats)),
+    }
+
+
+def read_sessions(state_root: str) -> ray.data.Dataset:
+    """All sessions so far: closed history ∪ current open sessions —
+    row-for-row equal to batch sessionize over every event folded in."""
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    manifest = TableManifest(state_root, STATE_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+    for ps in manifest.current_deltas().values():
+        files.extend(ps)
+    return ray.data.read_parquet(sorted(files), filesystem=fs)

@@ -1,0 +1,119 @@
+"""Incremental sessionization: epoch-at-a-time folds into lake-resident
+state must reproduce batch sessionize over the full stream exactly
+(closed ∪ open == batch), under the documented watermark assumption
+(per-key time order ACROSS epochs; any order within an epoch)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages import streaming_windows as sw
+from kafka_connect_jdbc_flatten_ray.stages.windows import sessionize
+
+
+def _read_events(sf_dir):
+    return pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+
+def _sorted_df(ds_or_df):
+    df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") else ds_or_df
+    df = df[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+    for c in ("session_start", "session_end"):
+        df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+class TestIncrementalSessionize:
+    def test_three_epochs_equal_batch(self, ray_session, sf_dir, tmp_path):
+        t = _read_events(sf_dir)
+        ts = t.column("ts").to_numpy()
+        tsi = ts.astype("datetime64[us]").astype(np.int64)
+        q1, q2 = np.quantile(tsi, [0.33, 0.66])
+        root = str(tmp_path / "sess")
+        parts = [
+            t.filter(pa.array(tsi <= q1)),
+            t.filter(pa.array((tsi > q1) & (tsi <= q2))),
+            t.filter(pa.array(tsi > q2)),
+        ]
+        for part in parts:
+            r = sw.sessionize_epoch(
+                ray.data.from_arrow(part), root, gap_seconds=1800
+            )
+            assert r["buckets"] > 0
+        got = _sorted_df(sw.read_sessions(root))
+        want = _sorted_df(sessionize(
+            ray.data.from_arrow(t), gap_seconds=1800
+        ))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_idle_key_carries_state_across_epochs(self, ray_session, tmp_path):
+        """A key idle during epoch 2 must keep its open session and, when
+        it returns within the gap in epoch 3, CONTINUE it — one session."""
+        root = str(tmp_path / "sess")
+
+        def ev(rows):
+            return ray.data.from_arrow(pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(np.array(
+                    [np.datetime64("2024-01-01T00:00:00", "us")
+                     + np.timedelta64(r[2], "s") for r in rows])),
+            }))
+
+        sw.sessionize_epoch(ev([(1, 0, 0), (2, 1, 0)]), root, gap_seconds=600)
+        sw.sessionize_epoch(ev([(2, 2, 300)]), root, gap_seconds=600)  # 1 idle
+        sw.sessionize_epoch(ev([(1, 3, 500), (2, 4, 2000)]), root, gap_seconds=600)
+        df = _sorted_df(sw.read_sessions(root))
+        u1 = df[df.user_id == 1]
+        assert len(u1) == 1 and u1.iloc[0]["n_events"] == 2  # continued
+        u2 = df[df.user_id == 2]
+        assert list(u2["session_id"]) == [0, 1]  # gap at t=2000 closed s0
+        assert list(u2["n_events"]) == [2, 1]
+
+    def test_gap_across_epochs_closes_and_renumbers(self, ray_session, tmp_path):
+        root = str(tmp_path / "sess")
+
+        def ev(rows):
+            return ray.data.from_arrow(pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(np.array(
+                    [np.datetime64("2024-01-01T00:00:00", "us")
+                     + np.timedelta64(r[2], "s") for r in rows])),
+            }))
+
+        sw.sessionize_epoch(ev([(7, 0, 0), (7, 1, 100)]), root, gap_seconds=300)
+        sw.sessionize_epoch(ev([(7, 2, 1000), (7, 3, 1100)]), root, gap_seconds=300)
+        df = _sorted_df(sw.read_sessions(root))
+        assert list(df["session_id"]) == [0, 1]
+        assert list(df["n_events"]) == [2, 2]
+        # second fold opened manifest epoch 1 with a closed file
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        m = TableManifest(root, sw.STATE_TABLE).load()
+        assert m["epoch"] == 1
+        assert any(m["deltas"].values())
+
+    def test_epoch_commit_is_cas_guarded(self, ray_session, tmp_path):
+        import posixpath
+
+        from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        root = str(tmp_path / "sess")
+        ev = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([1], pa.int64()),
+            "event_id": pa.array([0], pa.int64()),
+            "ts": pa.array(np.array([np.datetime64("2024-01-01", "us")])),
+        }))
+        sw.sessionize_epoch(ev, root)
+        m = TableManifest(root, sw.STATE_TABLE)
+        marker = posixpath.join(m.dir, "_epochs", "epoch-000001.json")
+        fsx.create_exclusive(m.fs, marker, b"{}")  # rival writer claims 1
+        with pytest.raises(fsx.ConcurrentWriteError):
+            sw.sessionize_epoch(ev, root)
