@@ -450,6 +450,36 @@ def clicks_asof_purchase(sf_dir: str) -> ray.data.Dataset:
     return asof_join_last_value(ds)
 
 
+def clicks_asof_incremental(sf_dir: str) -> ray.data.Dataset:
+    """The SAME as-of join computed INCREMENTALLY: three event-time epochs
+    folded through tiny lake-resident state (one row per key — the latest
+    purchase value; stages/streaming_windows.py). The union of per-epoch
+    outputs must equal the batch join, so this shares ORACLE_CLICKS_ASOF
+    verbatim."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_windows as sw
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_id", "ts", "event_type", "value"])
+    tsi = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    q1, q2 = np.quantile(tsi, [0.33, 0.66])
+    root = tempfile.mkdtemp(prefix="kcjf_asof_")
+    for part in (
+        t.filter(pa.array(tsi <= q1)),
+        t.filter(pa.array((tsi > q1) & (tsi <= q2))),
+        t.filter(pa.array(tsi > q2)),
+    ):
+        sw.asof_epoch(ray.data.from_arrow(part), root)
+    return sw.read_asof(root).map_batches(
+        lambda b: b.select(["user_id", "event_id", "ts", "asof_value"]),
+        batch_format="pyarrow",
+    )
+
+
 ORACLE_CLICKS_ASOF = """
 WITH o AS (
   SELECT user_id, event_id, ts, event_type,
@@ -565,6 +595,7 @@ def relational_queries() -> dict:
         "user_sessions": user_sessions,
         "user_sessions_incremental": user_sessions_incremental,
         "clicks_asof_purchase": clicks_asof_purchase,
+        "clicks_asof_incremental": clicks_asof_incremental,
         "user_trailing_hour": user_trailing_hour,
         "stratified_sample_docs": stratified_sample_docs,
         "top_terms_per_lang": top_terms_per_lang,
@@ -587,6 +618,7 @@ def relational_oracles() -> dict:
         "user_sessions": ORACLE_USER_SESSIONS,
         "user_sessions_incremental": ORACLE_USER_SESSIONS,
         "clicks_asof_purchase": ORACLE_CLICKS_ASOF,
+        "clicks_asof_incremental": ORACLE_CLICKS_ASOF,
         "user_trailing_hour": ORACLE_USER_TRAILING_HOUR,
         "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,
         "top_terms_per_lang": ORACLE_TOP_TERMS,

@@ -275,4 +275,149 @@ def read_sessions(state_root: str) -> ray.data.Dataset:
     files = sorted(manifest.current_files().values())
     for ps in manifest.current_deltas().values():
         files.extend(ps)
-    return ray.data.read_parquet(sorted(files), filesystem=fs)
+    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    # bucket=N directories read back as a hive partition column — drop it
+    drop = [c for c in ("bucket",) if c in ds.schema().names]
+    return ds.drop_columns(drop) if drop else ds
+
+
+# ---------------------------------------------------------------------------
+# incremental as-of join (state: one row per key — latest right value)
+# ---------------------------------------------------------------------------
+
+ASOF_TABLE = "asof_state"
+
+
+def asof_epoch(
+    events: ray.data.Dataset,
+    state_root: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    type_col: str = "event_type",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    value_col: str = "value",
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch into the as-of join: each left event joins the most
+    recent earlier right event's value, across epochs via TINY state (one
+    row per key: the latest right value seen). This epoch's joined left
+    rows append as per-bucket output files; the union over epochs equals
+    the batch as-of join under the per-key cross-epoch time order
+    assumption. Same manifest/CAS commit shape as sessionize_epoch."""
+    from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    manifest = TableManifest(state_root, ASOF_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        h = stable_row_hash(t, (key,))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        prior_path = prior.get(bucket)
+        state = (
+            pq.read_table(prior_path, filesystem=fs).to_pandas()
+            if prior_path else pd.DataFrame(
+                {key: pd.Series([], dtype="int64"),
+                 "last_value": pd.Series([], dtype="float64")}
+            )
+        )
+        carry = dict(zip(state[key].to_numpy(), state["last_value"].to_numpy()))
+        g = g.sort_values([key, ts, tiebreak], kind="stable")
+        k = g[key].to_numpy()
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        is_right = (g[type_col] == right_type).to_numpy()
+        # per-key forward-fill of right values, seeded by the carry-in
+        first_of_key = np.concatenate(([True], k[1:] != k[:-1]))
+        carried = np.where(is_right, vals, np.nan)
+        seed = np.array([carry.get(kk, np.nan) for kk in k[first_of_key]])
+        # groupwise ffill with a pre-shift so a row never sees itself:
+        # prepend each key's seed as a virtual row before its first event
+        df = pd.DataFrame({"k": k, "v": carried})
+        shifted = df.groupby("k", sort=False)["v"].shift(1)
+        seeded = shifted.to_numpy()
+        seeded[first_of_key] = seed
+        asof = pd.Series(
+            np.where(np.isnan(seeded) & ~first_of_key, np.nan, seeded)
+        ).groupby(k, sort=False).ffill().to_numpy()
+        # NOTE: the two-step above fills from in-epoch rights AND the seed:
+        # rows before any in-epoch right fall back to the seed via ffill
+        is_left = (g[type_col] == left_type).to_numpy()
+        out = pd.DataFrame(
+            {
+                key: k[is_left],
+                tiebreak: g[tiebreak].to_numpy()[is_left],
+                ts: g[ts].to_numpy()[is_left].astype("datetime64[us]"),
+                "asof_value": asof[is_left],
+            }
+        )
+        # new state: last right value per key (carry-in if none this epoch)
+        for kk in np.unique(k):
+            sel = is_right & (k == kk)
+            if sel.any():
+                carry[int(kk)] = float(vals[sel][-1])
+        new_state = pd.DataFrame(
+            {key: np.fromiter(carry.keys(), np.int64, len(carry)),
+             "last_value": np.fromiter(carry.values(), np.float64, len(carry))}
+        )
+        out_dir = fsx.join(root, ASOF_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        pq.write_table(pa.Table.from_pandas(new_state, preserve_index=False),
+                       staged, filesystem=fs)
+        fsx.publish_file(fs, staged, state_path)
+        joined_path = ""
+        if len(out):
+            joined_path = fsx.join(out_dir, f"epoch-{epoch:06d}.joined.parquet")
+            staged = fsx.staging_path(fs, joined_path)
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                           staged, filesystem=fs)
+            fsx.publish_file(fs, staged, joined_path)
+        return pd.DataFrame(
+            {"bucket": [bucket], "state_path": [state_path],
+             "joined_path": [joined_path], "joined_rows": [len(out)]}
+        )
+
+    _fold.__name__ = "asof_fold"
+    stats = (
+        events.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pandas")
+        .take_all()
+    )
+    manifest.publish(
+        epoch,
+        {int(r["bucket"]): r["state_path"] for r in stats},
+        {"joined_rows": int(sum(r["joined_rows"] for r in stats))},
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
+                      "hash_version": 2},
+        delta_files={int(r["bucket"]): r["joined_path"]
+                     for r in stats if r["joined_path"]},
+    )
+    return {"epoch": epoch,
+            "joined_rows": int(sum(r["joined_rows"] for r in stats))}
+
+
+def read_asof(state_root: str) -> ray.data.Dataset:
+    """All joined left rows folded so far (union over epochs)."""
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    manifest = TableManifest(state_root, ASOF_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files: list[str] = []
+    for ps in manifest.current_deltas().values():
+        files.extend(ps)
+    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    # bucket=N directories read back as a hive partition column — drop it
+    drop = [c for c in ("bucket",) if c in ds.schema().names]
+    return ds.drop_columns(drop) if drop else ds

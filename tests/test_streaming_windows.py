@@ -117,3 +117,54 @@ class TestIncrementalSessionize:
         fsx.create_exclusive(m.fs, marker, b"{}")  # rival writer claims 1
         with pytest.raises(fsx.ConcurrentWriteError):
             sw.sessionize_epoch(ev, root)
+
+
+class TestIncrementalAsof:
+    def test_three_epochs_equal_batch(self, ray_session, sf_dir, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages.windows import (
+            asof_join_last_value,
+        )
+
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type", "value"],
+        )
+        tsi = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        q1, q2 = np.quantile(tsi, [0.33, 0.66])
+        root = str(tmp_path / "asof")
+        for part in (
+            t.filter(pa.array(tsi <= q1)),
+            t.filter(pa.array((tsi > q1) & (tsi <= q2))),
+            t.filter(pa.array(tsi > q2)),
+        ):
+            sw.asof_epoch(ray.data.from_arrow(part), root)
+        cols = ["user_id", "event_id", "ts", "asof_value"]
+        got = sw.read_asof(root).to_pandas()[cols].sort_values(
+            ["user_id", "event_id"]).reset_index(drop=True)
+        want = asof_join_last_value(ray.data.from_arrow(t)).to_pandas()[
+            cols].sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        for df in (got, want):
+            df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_carry_in_spans_idle_epochs(self, ray_session, tmp_path):
+        root = str(tmp_path / "asof")
+
+        def ev(rows):
+            return ray.data.from_arrow(pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(np.array(
+                    [np.datetime64("2024-01-01T00:00:00", "us")
+                     + np.timedelta64(r[2], "s") for r in rows])),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([float(r[4]) for r in rows]),
+            }))
+
+        sw.asof_epoch(ev([(1, 0, 0, "purchase", 42), (2, 1, 0, "click", 0)]), root)
+        sw.asof_epoch(ev([(2, 2, 100, "purchase", 7)]), root)  # user 1 idle
+        sw.asof_epoch(ev([(1, 3, 500, "click", 0), (2, 4, 600, "click", 0)]), root)
+        df = sw.read_asof(root).to_pandas().set_index("event_id")
+        assert df.loc[3, "asof_value"] == 42.0  # carried across idle epoch
+        assert df.loc[4, "asof_value"] == 7.0
+        assert np.isnan(df.loc[1, "asof_value"])  # click before any purchase
