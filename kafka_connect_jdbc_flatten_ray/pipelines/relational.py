@@ -509,6 +509,36 @@ FROM events
 """
 
 
+def user_trailing_incremental(sf_dir: str) -> ray.data.Dataset:
+    """The SAME trailing RANGE window computed INCREMENTALLY: three
+    event-time epochs folded through lake-resident state (each key's last
+    `window` of events — stages/streaming_windows.py); the union of
+    per-epoch counts equals the batch computation, so this shares
+    ORACLE_USER_TRAILING_HOUR verbatim."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_windows as sw
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_id", "ts"])
+    tsi = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    q1, q2 = np.quantile(tsi, [0.33, 0.66])
+    root = tempfile.mkdtemp(prefix="kcjf_trailing_")
+    for part in (
+        t.filter(pa.array(tsi <= q1)),
+        t.filter(pa.array((tsi > q1) & (tsi <= q2))),
+        t.filter(pa.array(tsi > q2)),
+    ):
+        sw.trailing_epoch(ray.data.from_arrow(part), root, window_seconds=3600)
+    return sw.read_trailing(root).map_batches(
+        lambda b: b.select(["user_id", "event_id", "n_trailing"]),
+        batch_format="pyarrow",
+    )
+
+
 def stratified_sample_docs(sf_dir: str, per_group: int = 3) -> ray.data.Dataset:
     """Deterministic stratified sample: the ``per_group`` lowest doc_ids of
     each language (class-balanced eval-set carving)."""
@@ -597,6 +627,7 @@ def relational_queries() -> dict:
         "clicks_asof_purchase": clicks_asof_purchase,
         "clicks_asof_incremental": clicks_asof_incremental,
         "user_trailing_hour": user_trailing_hour,
+        "user_trailing_incremental": user_trailing_incremental,
         "stratified_sample_docs": stratified_sample_docs,
         "top_terms_per_lang": top_terms_per_lang,
     }
@@ -620,6 +651,7 @@ def relational_oracles() -> dict:
         "clicks_asof_purchase": ORACLE_CLICKS_ASOF,
         "clicks_asof_incremental": ORACLE_CLICKS_ASOF,
         "user_trailing_hour": ORACLE_USER_TRAILING_HOUR,
+        "user_trailing_incremental": ORACLE_USER_TRAILING_HOUR,
         "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,
         "top_terms_per_lang": ORACLE_TOP_TERMS,
     }

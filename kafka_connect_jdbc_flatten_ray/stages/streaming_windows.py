@@ -421,3 +421,147 @@ def read_asof(state_root: str) -> ray.data.Dataset:
     # bucket=N directories read back as a hive partition column — drop it
     drop = [c for c in ("bucket",) if c in ds.schema().names]
     return ds.drop_columns(drop) if drop else ds
+
+
+# ---------------------------------------------------------------------------
+# incremental trailing RANGE window (state: each key's last `window` events)
+# ---------------------------------------------------------------------------
+
+TRAILING_TABLE = "trailing_state"
+
+
+def trailing_epoch(
+    events: ray.data.Dataset,
+    state_root: str,
+    window_seconds: int = 3600,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch into the trailing RANGE window counts: each epoch
+    event's count covers its full trailing window because the state keeps,
+    per key, every event within ``window_seconds`` of that key's max
+    timestamp — the only history a FUTURE event's window can reach under
+    the per-key cross-epoch time order assumption (epoch boundaries must
+    also not split a (key, ts) tie group — RANGE windows count ts-peers
+    bidirectionally, and an already-emitted count cannot see later peers).
+    Same manifest/CAS commit shape as the other incremental operators."""
+    from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    manifest = TableManifest(state_root, TRAILING_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    w_us = window_seconds * 1_000_000
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        h = stable_row_hash(t, (key,))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        prior_path = prior.get(bucket)
+        state = (
+            pq.read_table(prior_path, filesystem=fs).to_pandas()
+            if prior_path else pd.DataFrame(
+                {key: pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype="int64"),
+                 ts: pd.Series([], dtype="datetime64[us]")}
+            )
+        )
+        ev = g.drop(columns="__bucket")[[key, id_col, ts]].assign(__own=True)
+        st = state.assign(__own=False)
+        both = pd.concat([st, ev], ignore_index=True).sort_values(
+            [key, ts, id_col], kind="stable"
+        )
+        k = both[key].to_numpy()
+        t_us = both[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        own = both["__own"].to_numpy()
+        n = len(both)
+        first_of_key = np.concatenate(([True], k[1:] != k[:-1]))
+        # one searchsorted across ALL keys: shift each key's timestamps
+        # into a disjoint range wider than span + window
+        key_idx = np.cumsum(first_of_key) - 1
+        t0 = t_us.min() if n else 0
+        span = (t_us.max() - t0 + w_us + 2) if n else 1
+        assert key_idx[-1] * span < np.iinfo(np.int64).max // 2 if n else True
+        t_adj = (t_us - t0) + key_idx * span
+        lo = np.searchsorted(t_adj, t_adj - w_us, side="left")
+        hi = np.searchsorted(t_adj, t_adj, side="right")
+        counts = (hi - lo).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                key: k[own],
+                id_col: both[id_col].to_numpy()[own],
+                "n_trailing": counts[own],
+            }
+        )
+        # new state: per key, rows within `window` of that key's max ts
+        kmax = np.full(n, np.iinfo(np.int64).min, np.int64)
+        if n:
+            last_of_key = np.concatenate((k[1:] != k[:-1], [True]))
+            maxs = t_us[last_of_key]  # sorted per key -> last is max
+            kmax = maxs[key_idx]
+        keep = t_us >= kmax - w_us
+        new_state = pd.DataFrame(
+            {
+                key: k[keep],
+                id_col: both[id_col].to_numpy()[keep],
+                ts: both[ts].to_numpy()[keep].astype("datetime64[us]"),
+            }
+        )
+        out_dir = fsx.join(root, TRAILING_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        pq.write_table(pa.Table.from_pandas(new_state, preserve_index=False),
+                       staged, filesystem=fs)
+        fsx.publish_file(fs, staged, state_path)
+        counts_path = ""
+        if len(out):
+            counts_path = fsx.join(out_dir, f"epoch-{epoch:06d}.counts.parquet")
+            staged = fsx.staging_path(fs, counts_path)
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                           staged, filesystem=fs)
+            fsx.publish_file(fs, staged, counts_path)
+        return pd.DataFrame(
+            {"bucket": [bucket], "state_path": [state_path],
+             "counts_path": [counts_path], "rows": [len(out)]}
+        )
+
+    _fold.__name__ = "trailing_fold"
+    stats = (
+        events.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pandas")
+        .take_all()
+    )
+    manifest.publish(
+        epoch,
+        {int(r["bucket"]): r["state_path"] for r in stats},
+        {"rows": int(sum(r["rows"] for r in stats))},
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
+                      "hash_version": 2},
+        delta_files={int(r["bucket"]): r["counts_path"]
+                     for r in stats if r["counts_path"]},
+    )
+    return {"epoch": epoch, "rows": int(sum(r["rows"] for r in stats))}
+
+
+def read_trailing(state_root: str) -> ray.data.Dataset:
+    """All trailing-window counts folded so far (union over epochs)."""
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+
+    manifest = TableManifest(state_root, TRAILING_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files: list[str] = []
+    for ps in manifest.current_deltas().values():
+        files.extend(ps)
+    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    drop = [c for c in ("bucket",) if c in ds.schema().names]
+    return ds.drop_columns(drop) if drop else ds

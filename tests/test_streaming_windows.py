@@ -168,3 +168,48 @@ class TestIncrementalAsof:
         assert df.loc[3, "asof_value"] == 42.0  # carried across idle epoch
         assert df.loc[4, "asof_value"] == 7.0
         assert np.isnan(df.loc[1, "asof_value"])  # click before any purchase
+
+
+class TestIncrementalTrailing:
+    def test_three_epochs_equal_batch(self, ray_session, sf_dir, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages.windows import (
+            trailing_window_counts,
+        )
+
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "event_id", "ts"])
+        tsi = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        q1, q2 = np.quantile(tsi, [0.33, 0.66])
+        root = str(tmp_path / "trail")
+        for part in (
+            t.filter(pa.array(tsi <= q1)),
+            t.filter(pa.array((tsi > q1) & (tsi <= q2))),
+            t.filter(pa.array(tsi > q2)),
+        ):
+            sw.trailing_epoch(ray.data.from_arrow(part), root)
+        cols = ["user_id", "event_id", "n_trailing"]
+        got = sw.read_trailing(root).to_pandas()[cols].sort_values(
+            ["user_id", "event_id"]).reset_index(drop=True)
+        want = trailing_window_counts(ray.data.from_arrow(t)).to_pandas()[
+            cols].sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_window_reaches_into_prior_epoch(self, ray_session, tmp_path):
+        root = str(tmp_path / "trail")
+
+        def ev(rows):
+            return ray.data.from_arrow(pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(np.array(
+                    [np.datetime64("2024-01-01T00:00:00", "us")
+                     + np.timedelta64(r[2], "s") for r in rows])),
+            }))
+
+        sw.trailing_epoch(ev([(1, 0, 0), (1, 1, 100)]), root, window_seconds=600)
+        # event at t=500: window [−100, 500] covers both prior events
+        sw.trailing_epoch(ev([(1, 2, 500)]), root, window_seconds=600)
+        # event at t=5000: none of the old events within 600s
+        sw.trailing_epoch(ev([(1, 3, 5000)]), root, window_seconds=600)
+        df = sw.read_trailing(root).to_pandas().set_index("event_id")
+        assert list(df.loc[[0, 1, 2, 3], "n_trailing"]) == [1, 2, 3, 1]
