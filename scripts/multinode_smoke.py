@@ -79,6 +79,28 @@ def main() -> None:
                       "equal": a == b,
                       "sec": round(time.perf_counter() - t0, 1)}))
     assert a == b, "salted sessionize diverged on the virtual cluster"
+
+    # incremental sessionize: state files written by fold tasks on ANY
+    # node must resolve on later epochs (shared-fs assumption of the lake)
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_windows as sws
+
+    state = tempfile.mkdtemp(prefix="multinode_winstate_")
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+    import numpy as np2
+
+    t = pq2.read_table(f"{args.sf_dir}/events.parquet",
+                       columns=["user_id", "event_id", "ts"])
+    tsi = t.column("ts").to_numpy().astype("datetime64[us]").astype(np2.int64)
+    q1 = int(np2.quantile(tsi, 0.5))
+    t0 = time.perf_counter()
+    sws.sessionize_epoch(rd.from_arrow(t.filter(pa2.array(tsi <= q1))), state)
+    sws.sessionize_epoch(rd.from_arrow(t.filter(pa2.array(tsi > q1))), state)
+    inc = sws.read_sessions(state).count()
+    print(json.dumps({"incremental_sessions": inc, "batch_sessions": a,
+                      "equal": inc == a,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc == a, "incremental sessionize diverged on the virtual cluster"
     ray.shutdown()
     cluster.shutdown()
 
