@@ -70,24 +70,26 @@ def _fold_bucket(
     gap_break = np.concatenate(([False], (t[1:] - t[:-1]) > gap_us))
     # prior open state lookup for each key's first event
     st = state.set_index(key) if len(state) else state
-    st_keys = set(st.index) if len(state) else set()
     kf = k[first_of_key]
     tf = t[first_of_key]
+    # vectorized state lookup: reindex the state frame by each key's first
+    # event (NaN rows = unseen keys) — no per-key Python loops, so a
+    # bucket with millions of keys stays numpy-bound
     if len(state):
-        st_end = st["session_end"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        end_by_key = dict(zip(st.index.to_numpy(), st_end))
-        seq_by_key = dict(zip(st.index.to_numpy(), st["session_id"].to_numpy()))
-        start_by_key = dict(zip(
-            st.index.to_numpy(),
-            st["session_start"].to_numpy().astype("datetime64[us]"),
-        ))
-        nev_by_key = dict(zip(st.index.to_numpy(), st["n_events"].to_numpy()))
+        aligned = st.reindex(kf)
+        al_end = aligned["session_end"].to_numpy().astype(
+            "datetime64[us]").astype(np.float64)
+        al_seq = aligned["session_id"].to_numpy().astype(np.float64)
+        al_start = aligned["session_start"].to_numpy().astype("datetime64[us]")
+        al_nev = aligned["n_events"].to_numpy().astype(np.float64)
+        in_state = ~np.isnan(al_seq)
     else:
-        end_by_key, seq_by_key, start_by_key, nev_by_key = {}, {}, {}, {}
-    cont_first = np.array(
-        [kk in st_keys and tt - end_by_key[kk] <= gap_us
-         for kk, tt in zip(kf, tf)], bool,
-    )
+        al_end = np.full(len(kf), np.nan)
+        al_seq = np.full(len(kf), np.nan)
+        al_start = np.full(len(kf), np.datetime64("NaT", "us"))
+        al_nev = np.full(len(kf), np.nan)
+        in_state = np.zeros(len(kf), bool)
+    cont_first = in_state & (tf - np.nan_to_num(al_end, nan=-np.inf) <= gap_us)
     # every key's first event opens a segment; later events open one on a
     # gap break. Segments are per-key by construction (first_of_key).
     seg_start_flag = first_of_key | gap_break
@@ -110,29 +112,33 @@ def _fold_bucket(
     seg_cont[np.flatnonzero(seg_first_of_key)] = cont_first
     # session numbering: base seq per key — the key's stored seq if its
     # first segment continues the open session, stored seq + 1 if the open
-    # session closes, 0 for unseen keys
+    # session closes, 0 for unseen keys. Each key's first-event aligned
+    # state row broadcasts to its segments via first_seg_idx (segments of
+    # one key are contiguous, and first events and first segments are in
+    # the same key order).
     if n_segs:
         first_seg_idx = np.maximum.accumulate(
             np.where(seg_first_of_key, np.arange(n_segs), -1)
         )
         key_cont = seg_cont[first_seg_idx]  # per segment: key continues?
-        base = np.array(
-            [
-                (seq_by_key[kk] + (0 if co else 1)) if kk in seq_by_key else 0
-                for kk, co in zip(seg_key, key_cont)
-            ],
-            np.int64,
-        )
+        key_no = np.cumsum(seg_first_of_key) - 1  # per segment: key index
+        seq0 = np.nan_to_num(al_seq, nan=-1.0).astype(np.int64)[key_no]
+        has_state = in_state[key_no]
+        base = np.where(has_state, seq0 + np.where(key_cont, 0, 1), 0)
     else:
         base = np.empty(0, np.int64)
     seq = base + seg_ord
-    # merge continuing segments with their stored session
+    # merge continuing segments with their stored session (vectorized:
+    # continuing segments are exactly the first segments of continuing
+    # keys, aligned through key_no)
     starts = seg_min.astype("datetime64[us]")
     nevs = seg_n.copy()
-    for i in np.flatnonzero(seg_cont):
-        kk = seg_key[i]
-        starts[i] = min(starts[i], np.datetime64(start_by_key[kk], "us"))
-        nevs[i] += nev_by_key[kk]
+    if n_segs:
+        cont_idx = np.flatnonzero(seg_cont)
+        if len(cont_idx):
+            kidx = (np.cumsum(seg_first_of_key) - 1)[cont_idx]
+            starts[cont_idx] = np.minimum(starts[cont_idx], al_start[kidx])
+            nevs[cont_idx] += al_nev[kidx].astype(np.int64)
     ends = seg_max.astype("datetime64[us]")
     sessions = pd.DataFrame(
         {
@@ -150,19 +156,19 @@ def _fold_bucket(
     new_open = sessions[last_of_key]
     closed = sessions[~last_of_key]
     # stored sessions NOT continued by their key's first event close now
-    touched = set(kf)
-    stale = [kk for kk, co in zip(kf, cont_first) if kk in st_keys and not co]
+    cols = [key, "session_id", "n_events", "session_start", "session_end"]
+    stale_mask = in_state & ~cont_first
     closed_stale = (
-        st.loc[stale].reset_index()[
-            [key, "session_id", "n_events", "session_start", "session_end"]
-        ] if stale else _empty_sessions(key)
+        st.loc[kf[stale_mask]].reset_index()[cols]
+        if stale_mask.any() else _empty_sessions(key)
     )
-    # untouched keys keep their open session
-    carried = (
-        st.loc[[kk for kk in st.index if kk not in touched]].reset_index()[
-            [key, "session_id", "n_events", "session_start", "session_end"]
-        ] if len(state) else _empty_sessions(key)
-    )
+    # untouched keys keep their open session (vectorized anti-join)
+    if len(state):
+        untouched = ~st.index.isin(kf)
+        carried = (st.loc[untouched].reset_index()[cols]
+                   if untouched.any() else _empty_sessions(key))
+    else:
+        carried = _empty_sessions(key)
     open_out = pd.concat([new_open, carried], ignore_index=True)
     closed_out = pd.concat([closed, closed_stale], ignore_index=True)
     return open_out, closed_out
@@ -361,10 +367,16 @@ def asof_epoch(
             }
         )
         # new state: last right value per key (carry-in if none this epoch)
-        for kk in np.unique(k):
-            sel = is_right & (k == kk)
-            if sel.any():
-                carry[int(kk)] = float(vals[sel][-1])
+        # — rows are (key, ts)-sorted, so the last right row per key is
+        # found with one boundary scan, linear in epoch size
+        right_idx = np.flatnonzero(is_right)
+        if len(right_idx):
+            rk = k[right_idx]
+            last_right = np.concatenate((rk[1:] != rk[:-1], [True]))
+            carry.update(
+                zip(rk[last_right].tolist(),
+                    vals[right_idx][last_right].tolist())
+            )
         new_state = pd.DataFrame(
             {key: np.fromiter(carry.keys(), np.int64, len(carry)),
              "last_value": np.fromiter(carry.values(), np.float64, len(carry))}

@@ -213,3 +213,71 @@ class TestIncrementalTrailing:
         sw.trailing_epoch(ev([(1, 3, 5000)]), root, window_seconds=600)
         df = sw.read_trailing(root).to_pandas().set_index("event_id")
         assert list(df.loc[[0, 1, 2, 3], "n_trailing"]) == [1, 2, 3, 1]
+
+
+class TestPropertyEquivalence:
+    def test_random_streams_random_splits(self, ray_session, tmp_path):
+        """Property check: for random event streams and random epoch cut
+        points, all three incremental operators equal their batch
+        counterparts (events within an epoch are shuffled — only the
+        cross-epoch per-key time order is preserved, as documented)."""
+        from kafka_connect_jdbc_flatten_ray.stages.windows import (
+            asof_join_last_value,
+            sessionize,
+            trailing_window_counts,
+        )
+
+        for seed in range(6):
+            rng = np.random.RandomState(seed)
+            n = 400
+            users = rng.randint(0, 12, n)
+            secs = np.sort(rng.randint(0, 50_000, n))
+            types = rng.choice(["click", "purchase", "view"], n)
+            t = pa.table({
+                "user_id": pa.array(users.astype(np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(
+                    (np.datetime64("2024-01-01T00:00:00", "us")
+                     + secs.astype("timedelta64[s]")).astype("datetime64[us]")),
+                "event_type": pa.array(types),
+                "value": pa.array(rng.randint(1, 50, n).astype(np.float64)),
+            })
+            n_epochs = int(rng.randint(2, 5))
+            cuts = np.sort(rng.choice(np.arange(1, n), n_epochs - 1, replace=False))
+            bounds = [0, *cuts.tolist(), n]
+            roots = {op: str(tmp_path / f"s{seed}_{op}")
+                     for op in ("sess", "asof", "trail")}
+            full = ray.data.from_arrow(t)
+            for e in range(n_epochs):
+                part = t.slice(bounds[e], bounds[e + 1] - bounds[e])
+                # shuffle WITHIN the epoch: the fold must sort
+                perm = rng.permutation(part.num_rows)
+                part = part.take(pa.array(perm))
+                ds = ray.data.from_arrow(part)
+                sw.sessionize_epoch(ds, roots["sess"], gap_seconds=900)
+                sw.asof_epoch(ds, roots["asof"])
+                sw.trailing_epoch(ds, roots["trail"], window_seconds=1200)
+            sc = ["user_id", "session_id", "n_events",
+                  "session_start", "session_end"]
+            got = sw.read_sessions(roots["sess"]).to_pandas()[sc]
+            want = sessionize(full, gap_seconds=900).to_pandas()[sc]
+            for df in (got, want):
+                for c in ("session_start", "session_end"):
+                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            pd.testing.assert_frame_equal(
+                got.sort_values(sc[:2]).reset_index(drop=True),
+                want.sort_values(sc[:2]).reset_index(drop=True),
+            )
+            ac = ["user_id", "event_id", "asof_value"]
+            got = sw.read_asof(roots["asof"]).to_pandas()[ac].sort_values(
+                ac[:2]).reset_index(drop=True)
+            want = asof_join_last_value(full).to_pandas()[ac].sort_values(
+                ac[:2]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
+            tc = ["user_id", "event_id", "n_trailing"]
+            got = sw.read_trailing(roots["trail"]).to_pandas()[tc].sort_values(
+                tc[:2]).reset_index(drop=True)
+            want = trailing_window_counts(
+                full, window_seconds=1200).to_pandas()[tc].sort_values(
+                tc[:2]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
