@@ -59,9 +59,14 @@ def _empty_sessions(key_name: str) -> pd.DataFrame:
 def _fold_bucket(
     ev: pd.DataFrame, state: pd.DataFrame, key: str, ts: str,
     tiebreak: str, gap_us: int,
-) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """(new open state, closed sessions) after folding one bucket's epoch
-    events into its prior open-session state. Vectorized across keys."""
+) -> tuple[pd.DataFrame, pd.DataFrame, int]:
+    """(new open state, closed sessions, n_late) after folding one
+    bucket's epoch events into its prior open-session state. Vectorized
+    across keys. n_late counts first-events older than the stored open
+    session's start minus the gap — events batch sessionize would have
+    placed in an EARLIER (already-closed) session, i.e. genuine watermark
+    violations; events merely older than the stored END still fold
+    correctly (min/max/count absorb them)."""
     ev = ev.sort_values([key, ts, tiebreak], kind="stable")
     k = ev[key].to_numpy()
     t = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -90,6 +95,8 @@ def _fold_bucket(
         al_nev = np.full(len(kf), np.nan)
         in_state = np.zeros(len(kf), bool)
     cont_first = in_state & (tf - np.nan_to_num(al_end, nan=-np.inf) <= gap_us)
+    al_start_i = al_start.astype(np.int64)  # NaT -> int64 min
+    n_late = int((in_state & (tf < al_start_i - gap_us)).sum())
     # every key's first event opens a segment; later events open one on a
     # gap break. Segments are per-key by construction (first_of_key).
     seg_start_flag = first_of_key | gap_break
@@ -171,7 +178,7 @@ def _fold_bucket(
         carried = _empty_sessions(key)
     open_out = pd.concat([new_open, carried], ignore_index=True)
     closed_out = pd.concat([closed, closed_stale], ignore_index=True)
-    return open_out, closed_out
+    return open_out, closed_out, n_late
 
 
 def sessionize_epoch(
@@ -182,6 +189,7 @@ def sessionize_epoch(
     ts: str = "ts",
     tiebreak: str = "event_id",
     num_buckets: int = 32,
+    late_policy: str = "count",
 ) -> dict:
     """Fold one epoch of events into the lake-resident session state.
 
@@ -213,7 +221,7 @@ def sessionize_epoch(
             pq.read_table(prior_path, filesystem=fs).to_pandas()
             if prior_path else _empty_sessions(key)
         )
-        open_out, closed_out = _fold_bucket(
+        open_out, closed_out, n_late = _fold_bucket(
             g.drop(columns="__bucket"), state, key, ts, tiebreak, gap_us
         )
         out_dir = fsx.join(root, STATE_TABLE, f"bucket={bucket:05d}")
@@ -239,6 +247,7 @@ def sessionize_epoch(
                 "closed_path": [closed_path],
                 "open_sessions": [len(open_out)],
                 "closed_sessions": [len(closed_out)],
+                "late_events": [n_late],
             }
         )
 
@@ -253,11 +262,19 @@ def sessionize_epoch(
     closed_files = {
         int(r["bucket"]): r["closed_path"] for r in stats if r["closed_path"]
     }
+    n_late = int(sum(r["late_events"] for r in stats))
+    if late_policy == "error" and n_late:
+        raise ValueError(
+            f"{n_late} late events violate the per-key cross-epoch time "
+            "order (older than a stored session start - gap); rerun with "
+            "late_policy='count' to fold them as new sessions"
+        )
     manifest.publish(
         epoch, bucket_files,
         {
             "open_sessions": int(sum(r["open_sessions"] for r in stats)),
             "closed_sessions": int(sum(r["closed_sessions"] for r in stats)),
+            "late_events": n_late,
         },
         partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
                       "hash_version": 2},
@@ -268,6 +285,7 @@ def sessionize_epoch(
         "buckets": len(bucket_files),
         "open_sessions": int(sum(r["open_sessions"] for r in stats)),
         "closed_sessions": int(sum(r["closed_sessions"] for r in stats)),
+        "late_events": n_late,
     }
 
 
@@ -305,13 +323,17 @@ def asof_epoch(
     right_type: str = "purchase",
     value_col: str = "value",
     num_buckets: int = 32,
+    late_policy: str = "count",
 ) -> dict:
     """Fold one epoch into the as-of join: each left event joins the most
     recent earlier right event's value, across epochs via TINY state (one
-    row per key: the latest right value seen). This epoch's joined left
-    rows append as per-bucket output files; the union over epochs equals
-    the batch as-of join under the per-key cross-epoch time order
-    assumption. Same manifest/CAS commit shape as sessionize_epoch."""
+    row per key: the latest right value seen + a per-key timestamp
+    watermark). This epoch's joined left rows append as per-bucket output
+    files; the union over epochs equals the batch as-of join under the
+    per-key cross-epoch time order assumption. Epoch events OLDER than
+    their key's stored watermark are counted as late (they may receive a
+    right value from their future); ``late_policy='error'`` refuses the
+    epoch instead. Same manifest/CAS commit shape as sessionize_epoch."""
     from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
     from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
@@ -334,12 +356,25 @@ def asof_epoch(
             pq.read_table(prior_path, filesystem=fs).to_pandas()
             if prior_path else pd.DataFrame(
                 {key: pd.Series([], dtype="int64"),
-                 "last_value": pd.Series([], dtype="float64")}
+                 "last_value": pd.Series([], dtype="float64"),
+                 "last_ts": pd.Series([], dtype="datetime64[us]")}
             )
         )
+        if "last_ts" not in state.columns:  # pre-watermark state files
+            state["last_ts"] = pd.Series(
+                np.full(len(state), np.datetime64("NaT", "us")))
         carry = dict(zip(state[key].to_numpy(), state["last_value"].to_numpy()))
+        wm = dict(zip(
+            state[key].to_numpy(),
+            state["last_ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+        ))
         g = g.sort_values([key, ts, tiebreak], kind="stable")
         k = g[key].to_numpy()
+        t_us = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # late = older than the key's stored watermark (vectorized map)
+        wm_s = pd.Series(wm, dtype="float64")
+        wm_per_row = wm_s.reindex(k).to_numpy()
+        n_late = int((t_us < np.nan_to_num(wm_per_row, nan=-np.inf)).sum())
         vals = g[value_col].to_numpy(dtype=np.float64)
         is_right = (g[type_col] == right_type).to_numpy()
         # per-key forward-fill of right values, seeded by the carry-in
@@ -377,9 +412,18 @@ def asof_epoch(
                 zip(rk[last_right].tolist(),
                     vals[right_idx][last_right].tolist())
             )
+        # advance each touched key's watermark to its epoch max ts
+        last_of_key = np.concatenate((k[1:] != k[:-1], [True])) if len(k) else np.empty(0, bool)
+        for kk, tt in zip(k[last_of_key].tolist(), t_us[last_of_key].tolist()):
+            wm[kk] = max(tt, wm.get(kk, -2**62))
+        keys_arr = np.fromiter(carry.keys(), np.int64, len(carry))
+        all_keys = np.union1d(keys_arr, np.fromiter(wm.keys(), np.int64, len(wm)))
         new_state = pd.DataFrame(
-            {key: np.fromiter(carry.keys(), np.int64, len(carry)),
-             "last_value": np.fromiter(carry.values(), np.float64, len(carry))}
+            {key: all_keys,
+             "last_value": pd.Series(carry, dtype="float64").reindex(all_keys).to_numpy(),
+             "last_ts": pd.Series(
+                 {kk: np.datetime64(int(v), "us") for kk, v in wm.items()}
+             ).reindex(all_keys).to_numpy().astype("datetime64[us]")}
         )
         out_dir = fsx.join(root, ASOF_TABLE, f"bucket={bucket:05d}")
         fsx.makedirs(fs, out_dir)
@@ -397,7 +441,8 @@ def asof_epoch(
             fsx.publish_file(fs, staged, joined_path)
         return pd.DataFrame(
             {"bucket": [bucket], "state_path": [state_path],
-             "joined_path": [joined_path], "joined_rows": [len(out)]}
+             "joined_path": [joined_path], "joined_rows": [len(out)],
+             "late_events": [n_late]}
         )
 
     _fold.__name__ = "asof_fold"
@@ -407,17 +452,25 @@ def asof_epoch(
         .map_groups(_fold, batch_format="pandas")
         .take_all()
     )
+    n_late = int(sum(r["late_events"] for r in stats))
+    if late_policy == "error" and n_late:
+        raise ValueError(
+            f"{n_late} late events violate the per-key cross-epoch time "
+            "order (older than the stored watermark)"
+        )
     manifest.publish(
         epoch,
         {int(r["bucket"]): r["state_path"] for r in stats},
-        {"joined_rows": int(sum(r["joined_rows"] for r in stats))},
+        {"joined_rows": int(sum(r["joined_rows"] for r in stats)),
+         "late_events": n_late},
         partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
                       "hash_version": 2},
         delta_files={int(r["bucket"]): r["joined_path"]
                      for r in stats if r["joined_path"]},
     )
     return {"epoch": epoch,
-            "joined_rows": int(sum(r["joined_rows"] for r in stats))}
+            "joined_rows": int(sum(r["joined_rows"] for r in stats)),
+            "late_events": n_late}
 
 
 def read_asof(state_root: str) -> ray.data.Dataset:
@@ -450,6 +503,7 @@ def trailing_epoch(
     ts: str = "ts",
     id_col: str = "event_id",
     num_buckets: int = 32,
+    late_policy: str = "count",
 ) -> dict:
     """Fold one epoch into the trailing RANGE window counts: each epoch
     event's count covers its full trailing window because the state keeps,
@@ -488,6 +542,19 @@ def trailing_epoch(
         )
         ev = g.drop(columns="__bucket")[[key, id_col, ts]].assign(__own=True)
         st = state.assign(__own=False)
+        # late = epoch events older than their key's stored max timestamp
+        # (part of their trailing window may already be discarded)
+        if len(st):
+            st_max = st.groupby(key)[ts].max()
+            st_max_i = pd.Series(
+                st_max.to_numpy().astype("datetime64[us]").astype(np.int64),
+                index=st_max.index, dtype="float64",
+            )
+            ev_ts_i = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+            per_row = st_max_i.reindex(ev[key].to_numpy()).to_numpy()
+            n_late = int((ev_ts_i < np.nan_to_num(per_row, nan=-np.inf)).sum())
+        else:
+            n_late = 0
         both = pd.concat([st, ev], ignore_index=True).sort_values(
             [key, ts, id_col], kind="stable"
         )
@@ -543,7 +610,8 @@ def trailing_epoch(
             fsx.publish_file(fs, staged, counts_path)
         return pd.DataFrame(
             {"bucket": [bucket], "state_path": [state_path],
-             "counts_path": [counts_path], "rows": [len(out)]}
+             "counts_path": [counts_path], "rows": [len(out)],
+             "late_events": [n_late]}
         )
 
     _fold.__name__ = "trailing_fold"
@@ -553,16 +621,23 @@ def trailing_epoch(
         .map_groups(_fold, batch_format="pandas")
         .take_all()
     )
+    n_late = int(sum(r["late_events"] for r in stats))
+    if late_policy == "error" and n_late:
+        raise ValueError(
+            f"{n_late} late events violate the per-key cross-epoch time "
+            "order (older than the stored per-key max timestamp)"
+        )
     manifest.publish(
         epoch,
         {int(r["bucket"]): r["state_path"] for r in stats},
-        {"rows": int(sum(r["rows"] for r in stats))},
+        {"rows": int(sum(r["rows"] for r in stats)), "late_events": n_late},
         partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
                       "hash_version": 2},
         delta_files={int(r["bucket"]): r["counts_path"]
                      for r in stats if r["counts_path"]},
     )
-    return {"epoch": epoch, "rows": int(sum(r["rows"] for r in stats))}
+    return {"epoch": epoch, "rows": int(sum(r["rows"] for r in stats)),
+            "late_events": n_late}
 
 
 def read_trailing(state_root: str) -> ray.data.Dataset:

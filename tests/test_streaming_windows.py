@@ -281,3 +281,51 @@ class TestPropertyEquivalence:
                 full, window_seconds=1200).to_pandas()[tc].sort_values(
                 tc[:2]).reset_index(drop=True)
             pd.testing.assert_frame_equal(got, want)
+
+
+class TestLateEventPolicy:
+    def _ev(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")
+                 + np.timedelta64(r[2], "s") for r in rows])),
+            "event_type": pa.array([r[3] if len(r) > 3 else "click"
+                                    for r in rows]),
+            "value": pa.array([float(r[4]) if len(r) > 4 else 0.0
+                               for r in rows]),
+        }))
+
+    def test_sessionize_counts_and_errors(self, ray_session, tmp_path):
+        root = str(tmp_path / "s")
+        r = sw.sessionize_epoch(self._ev([(1, 0, 5000)]), root, gap_seconds=600)
+        assert r["late_events"] == 0
+        # an event 2h older than the stored session start - gap is late
+        r = sw.sessionize_epoch(self._ev([(1, 1, 0)]), root, gap_seconds=600)
+        assert r["late_events"] == 1
+        root2 = str(tmp_path / "s2")
+        sw.sessionize_epoch(self._ev([(1, 0, 5000)]), root2, gap_seconds=600)
+        with pytest.raises(ValueError, match="late events"):
+            sw.sessionize_epoch(self._ev([(1, 2, 0)]), root2, gap_seconds=600,
+                                late_policy="error")
+
+    def test_asof_watermark(self, ray_session, tmp_path):
+        root = str(tmp_path / "a")
+        r = sw.asof_epoch(self._ev([(1, 0, 5000, "purchase", 9)]), root)
+        assert r["late_events"] == 0
+        r = sw.asof_epoch(self._ev([(1, 1, 100, "click", 0)]), root)
+        assert r["late_events"] == 1  # older than the watermark
+        with pytest.raises(ValueError, match="late events"):
+            sw.asof_epoch(self._ev([(1, 2, 100, "click", 0)]), root,
+                          late_policy="error")
+
+    def test_trailing_watermark(self, ray_session, tmp_path):
+        root = str(tmp_path / "t")
+        r = sw.trailing_epoch(self._ev([(1, 0, 5000)]), root, window_seconds=600)
+        assert r["late_events"] == 0
+        r = sw.trailing_epoch(self._ev([(1, 1, 100)]), root, window_seconds=600)
+        assert r["late_events"] == 1
+        with pytest.raises(ValueError, match="late events"):
+            sw.trailing_epoch(self._ev([(1, 2, 100)]), root,
+                              window_seconds=600, late_policy="error")
