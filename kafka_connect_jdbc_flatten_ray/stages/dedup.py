@@ -391,12 +391,15 @@ def dedup_minhash_pairs_slim(
         )
 
     def _sig_rows(t: pa.Table) -> pa.Table:
+        # -1 sentinels (NOT nulls): nullable int64 survives Arrow but a
+        # pandas round-trip anywhere downstream would promote the column to
+        # float64 (the round-3 wrong-answer bug); sentinels can't promote.
         n = t.num_rows
         return pa.table(
             {
                 "node": t.column("doc_id"),
-                "doc_a": pa.nulls(n, pa.int64()),
-                "doc_b": pa.nulls(n, pa.int64()),
+                "doc_a": pa.array(np.full(n, -1, np.int64)),
+                "doc_b": pa.array(np.full(n, -1, np.int64)),
                 "side": pa.array(np.full(n, -1, np.int8)),
                 "blob": pc.cast(t.column("sig"), pa.large_binary()),
             }
@@ -406,46 +409,79 @@ def dedup_minhash_pairs_slim(
         sigs.map_batches(_sig_rows, batch_format="pyarrow")
     )
 
-    def _attach(df: pd.DataFrame) -> pd.DataFrame:
-        sig_row = df[df["side"] == -1]
-        pair_rows = df[df["side"] >= 0]
-        if sig_row.empty or pair_rows.empty:
-            return pair_rows.iloc[0:0]
-        out = pair_rows.copy()
-        out["blob"] = [sig_row["blob"].iloc[0]] * len(out)
-        return out
+    attached = tagged.groupby("node").map_groups(
+        _attach_blob, batch_format="pyarrow"
+    )
 
-    attached = tagged.groupby("node").map_groups(_attach, batch_format="pandas")
-
-    def _combine_star(df: pd.DataFrame) -> pd.DataFrame:
+    def _combine_star(t: pa.Table) -> pa.Table:
         """Verify all pairs sharing one doc_a at once: the star signature
-        vs a stacked matrix of the partners' signatures."""
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                              "doc_b": pd.Series([], dtype="int64"),
-                              "est_jaccard": pd.Series([], dtype="float64")})
-        aa = df[df["side"] == 0]
-        bb = df[df["side"] == 1]
-        if aa.empty or bb.empty:
-            return empty
-        sa = np.frombuffer(aa["blob"].iloc[0], dtype="<i8")
-        bb = bb.sort_values("doc_b")
-        bb = bb[bb["doc_b"].isin(set(aa["doc_b"]))]
-        if bb.empty:
-            return empty
-        mb = np.frombuffer(b"".join(bb["blob"]), dtype="<i8").reshape(len(bb), -1)
+        vs a stacked matrix of the partners' signatures. Arrow in/out —
+        int64 ids stay int64 end to end."""
+        got = _star_blobs(t, "doc_b")
+        if got is None:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        doc_a, b_docs, sa_blob, mb_blob = got
+        sa = np.frombuffer(sa_blob, dtype="<i8")
+        mb = np.frombuffer(mb_blob, dtype="<i8").reshape(len(b_docs), -1)
         est = (mb == sa).mean(axis=1)
         sel = est >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.full(int(sel.sum()), int(aa["doc_a"].iloc[0])),
-                "doc_b": bb["doc_b"].to_numpy()[sel],
-                "est_jaccard": est[sel],
+                "doc_a": pa.array(np.full(int(sel.sum()), doc_a, np.int64)),
+                "doc_b": pa.array(b_docs[sel].astype(np.int64)),
+                "est_jaccard": pa.array(est[sel]),
             }
         )
 
     return attached.groupby("doc_a").map_groups(
-        _combine_star, batch_format="pandas"
+        _combine_star, batch_format="pyarrow"
     )
+
+
+def _attach_blob(t: pa.Table) -> pa.Table:
+    """Per-node group of the slim dedup exchange: one side==-1 row carries
+    the node's signature/vector blob; broadcast it onto the pair rows.
+    Arrow-native (no pandas promotion, no unhashable-schema warnings)."""
+    side = t.column("side").to_numpy(zero_copy_only=False)
+    carrier = np.flatnonzero(side == -1)
+    pair_mask = side >= 0
+    if carrier.size == 0 or not pair_mask.any():
+        return t.slice(0, 0)
+    blob = t.column("blob")[int(carrier[0])]
+    pairs = t.filter(pa.array(pair_mask))
+    return pairs.set_column(
+        pairs.schema.get_field_index("blob"), "blob",
+        pa.repeat(blob, pairs.num_rows),
+    )
+
+
+def _star_blobs(t: pa.Table, b_col: str):
+    """Shared recombine step for the slim variants' (a, b) star groups:
+    returns (a_id, sorted b ids ndarray, a blob bytes, concatenated b blob
+    bytes) for the b-side rows whose id also appears on the a side, or
+    None when either side is missing."""
+    side = t.column("side").to_numpy(zero_copy_only=False)
+    a_idx = np.flatnonzero(side == 0)
+    b_idx = np.flatnonzero(side == 1)
+    if a_idx.size == 0 or b_idx.size == 0:
+        return None
+    ids = t.column(b_col).to_numpy(zero_copy_only=False)
+    b_ids = ids[b_idx]
+    order = np.argsort(b_ids, kind="stable")
+    b_idx, b_ids = b_idx[order], b_ids[order]
+    keep = np.isin(b_ids, ids[a_idx])
+    b_idx, b_ids = b_idx[keep], b_ids[keep]
+    if b_idx.size == 0:
+        return None
+    blobs = t.column("blob")
+    if isinstance(blobs, pa.ChunkedArray):
+        blobs = blobs.combine_chunks()
+    a_id = int(t.column("doc_a" if b_col == "doc_b" else "vec_a")[int(a_idx[0])].as_py())
+    a_blob = blobs[int(a_idx[0])].as_py()
+    mb_blob = b"".join(blobs[int(i)].as_py() for i in b_idx)
+    return a_id, b_ids, a_blob, mb_blob
 
 
 def dedup_minhash_clusters(
@@ -983,13 +1019,14 @@ def dedup_embedding_pairs_slim(
         )
 
     def _vec_rows(t: pa.Table) -> pa.Table:
+        # -1 sentinels, not nulls — see _sig_rows in the minhash slim path.
         blob = pc.cast(t.column("vec"), pa.large_binary())
         n = t.num_rows
         return pa.table(
             {
                 "node": t.column("vec_id"),
-                "vec_a": pa.nulls(n, pa.int64()),
-                "vec_b": pa.nulls(n, pa.int64()),
+                "vec_a": pa.array(np.full(n, -1, np.int64)),
+                "vec_b": pa.array(np.full(n, -1, np.int64)),
                 "side": pa.array(np.full(n, -1, np.int8)),
                 "blob": blob,
             }
@@ -999,48 +1036,33 @@ def dedup_embedding_pairs_slim(
         vecs.map_batches(_vec_rows, batch_format="pyarrow")
     )
 
-    def _attach(df: pd.DataFrame) -> pd.DataFrame:
-        vec_row = df[df["side"] == -1]
-        pair_rows = df[df["side"] >= 0]
-        if vec_row.empty or pair_rows.empty:
-            return pair_rows.iloc[0:0]
-        out = pair_rows.copy()
-        out["blob"] = [vec_row["blob"].iloc[0]] * len(out)
-        return out
+    attached = tagged.groupby("node").map_groups(
+        _attach_blob, batch_format="pyarrow"
+    )
 
-    attached = tagged.groupby("node").map_groups(_attach, batch_format="pandas")
-
-    def _combine_star(df: pd.DataFrame) -> pd.DataFrame:
+    def _combine_star(t: pa.Table) -> pa.Table:
         """Recombine all pairs sharing one vec_a (LSH stars share the
         bucket minimum, so groups are large): one matrix-vector product
-        verifies every pair of the star at once."""
-        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                              "vec_b": pd.Series([], dtype="int64"),
-                              "cos": pd.Series([], dtype="float64")})
-        aa = df[df["side"] == 0]
-        bb = df[df["side"] == 1]
-        if aa.empty or bb.empty:
-            return empty
-        ua = np.frombuffer(aa["blob"].iloc[0], dtype="<f8")
-        bb = bb.sort_values("vec_b")
-        # one row per vec_b on each side; align b-side rows to a-side set
-        keep_b = bb["vec_b"].isin(set(aa["vec_b"]))
-        bb = bb[keep_b]
-        if bb.empty:
-            return empty
-        mb = np.frombuffer(
-            b"".join(bb["blob"]), dtype="<f8"
-        ).reshape(len(bb), -1)
+        verifies every pair of the star at once. Arrow in/out — int64 ids
+        stay int64 end to end."""
+        got = _star_blobs(t, "vec_b")
+        if got is None:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        vec_a, b_ids, ua_blob, mb_blob = got
+        ua = np.frombuffer(ua_blob, dtype="<f8")
+        mb = np.frombuffer(mb_blob, dtype="<f8").reshape(len(b_ids), -1)
         cos = (mb @ ua).round(6)
         sel = cos >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_a": np.full(int(sel.sum()), int(aa["vec_a"].iloc[0])),
-                "vec_b": bb["vec_b"].to_numpy()[sel],
-                "cos": cos[sel],
+                "vec_a": pa.array(np.full(int(sel.sum()), vec_a, np.int64)),
+                "vec_b": pa.array(b_ids[sel].astype(np.int64)),
+                "cos": pa.array(cos[sel]),
             }
         )
 
     return attached.groupby("vec_a").map_groups(
-        _combine_star, batch_format="pandas"
+        _combine_star, batch_format="pyarrow"
     )

@@ -171,20 +171,31 @@ class TestEmbeddingSlim:
                 }
             )
         )
+        dense_ds = dedup.dedup_embedding_pairs(emb, 32, 0.9)
+        slim_ds = dedup.dedup_embedding_pairs_slim(emb, 32, 0.9)
         dense = {(r["vec_a"], r["vec_b"]): round(r["cos"], 5)
-                 for r in dedup.dedup_embedding_pairs(emb, 32, 0.9).take_all()}
+                 for r in dense_ds.take_all()}
         slim = {(r["vec_a"], r["vec_b"]): round(r["cos"], 5)
-                for r in dedup.dedup_embedding_pairs_slim(emb, 32, 0.9).take_all()}
+                for r in slim_ds.take_all()}
         assert dense == slim and (0, 1) in slim
+        # the round-3 wrong answer was float64 ids from a pandas promotion;
+        # dtypes must match the dense variant exactly, not just values
+        sch = slim_ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        assert types["vec_a"] == pa.int64() and types["vec_b"] == pa.int64()
 
 
 class TestMinHashSlim:
     def test_slim_matches_dense(self, ray_session, docs_with_dups):
         dense = {(r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 6)
                  for r in dedup.dedup_minhash_pairs(docs_with_dups, 0.5).take_all()}
+        slim_ds = dedup.dedup_minhash_pairs_slim(docs_with_dups, 0.5)
         slim = {(r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 6)
-                for r in dedup.dedup_minhash_pairs_slim(docs_with_dups, 0.5).take_all()}
+                for r in slim_ds.take_all()}
         assert dense == slim and (0, 1) in slim
+        sch = slim_ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        assert types["doc_a"] == pa.int64() and types["doc_b"] == pa.int64()
 
 
 class TestIVFTrained:
