@@ -566,6 +566,8 @@ def data_oracles() -> dict:
         # — the oracle reproduces registers and the harmonic/linear-count
         # estimate exactly (approximate vs TRUTH, exact vs the engine)
         "approx_distinct_users": dedup_oracles.hll_distinct_sql(),
-        # still rows-only: the k-means-TRAINED IVF (iterative training);
-        # recall-tested against the brute-force oracle
+        # k-means-TRAINED IVF: fixed-iteration Lloyd's with deterministic
+        # init is SQL-expressible by unrolling the 4 iterations (lockstep
+        # unnest means + renormalization); also recall-tested vs brute force
+        "ann_topk_ivf_kmeans": dedup_oracles.ivf_kmeans_topk_sql(),
     }

@@ -351,17 +351,10 @@ ecos AS (
 SELECT vec_a, vec_b, cos FROM ecos WHERE cos >= {threshold}"""
 
 
-def ivf_topk_sql(
-    k: int = 5, num_queries: int = 8, num_centroids: int = 16,
-    nprobe: int = 4, sample_cap: int = 1024,
-) -> str:
-    """Mirror of ann_topk_ivf (sampled-centroid variant): the centroid
-    sample is `vec_id < sample_cap` sorted by vec_id, every (n // C)-th
-    row — a rule SQL can state exactly — and assignment/probe ties break
-    on (similarity DESC, centroid-id ASC), matching the engine's stable
-    argsort/argmax. Cosines round to 6 decimals before ranking, as in the
-    brute-force oracle. The k-means-trained variant stays rows-only (the
-    training is iterative)."""
+#: shared head of the IVF oracles: unit-normalized vectors + the bounded
+#: deterministic centroid sample (`vec_id < sample_cap`, every (n//C)-th
+#: row sorted by vec_id — stages/ann.py:ivf_centroids)
+def _ivf_head_sql(num_centroids: int, sample_cap: int) -> str:
     return f"""
 WITH unitv AS (
   SELECT vec_id,
@@ -381,13 +374,22 @@ cents AS (
   FROM samp
   WHERE (rn - 1) % greatest(n // {num_centroids}, 1) = 0
   ORDER BY vec_id LIMIT {num_centroids}
-),
+)"""
+
+
+#: shared tail: bucket assignment with the given centroid CTE, query-side
+#: probe of the nprobe nearest buckets, 6-decimal rounding, (cos DESC,
+#: vec_id) ranking — ties break exactly like the engine's stable argsort
+def _ivf_probe_tail_sql(
+    cents_cte: str, k: int, num_queries: int, nprobe: int
+) -> str:
+    return f"""
 assign AS (
   SELECT v.vec_id, c.cid,
          row_number() OVER (PARTITION BY v.vec_id
                             ORDER BY list_inner_product(v.u, c.u) DESC, c.cid)
            AS r
-  FROM unitv v CROSS JOIN cents c
+  FROM unitv v CROSS JOIN {cents_cte} c
 ),
 vbucket AS (SELECT vec_id, cid AS bucket FROM assign WHERE r = 1),
 qset AS (SELECT vec_id AS qid, u AS qu FROM unitv WHERE vec_id < {num_queries}),
@@ -396,7 +398,7 @@ probe AS (
          row_number() OVER (PARTITION BY q.qid
                             ORDER BY list_inner_product(q.qu, c.u) DESC, c.cid)
            AS pr
-  FROM qset q CROSS JOIN cents c
+  FROM qset q CROSS JOIN {cents_cte} c
 ),
 icand AS (
   SELECT p.qid, vb.vec_id
@@ -415,6 +417,81 @@ SELECT query_id,
                                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
        vec_id, cos
 FROM scored QUALIFY rank <= {k}"""
+
+
+def ivf_topk_sql(
+    k: int = 5, num_queries: int = 8, num_centroids: int = 16,
+    nprobe: int = 4, sample_cap: int = 1024,
+) -> str:
+    """Mirror of ann_topk_ivf (sampled-centroid variant): the centroid
+    sample is `vec_id < sample_cap` sorted by vec_id, every (n // C)-th
+    row — a rule SQL can state exactly — and assignment/probe ties break
+    on (similarity DESC, centroid-id ASC), matching the engine's stable
+    argsort/argmax. Cosines round to 6 decimals before ranking, as in the
+    brute-force oracle."""
+    return (
+        _ivf_head_sql(num_centroids, sample_cap)
+        + ",\n"
+        + _ivf_probe_tail_sql("cents", k, num_queries, nprobe)
+    )
+
+
+def _norm_expr(col: str) -> str:
+    """list_transform renormalization mirroring kmeans._unit_rows."""
+    return (
+        f"list_transform({col}, x -> x / "
+        f"greatest(sqrt(list_sum(list_transform({col}, y -> y * y))), 1e-12))"
+    )
+
+
+def ivf_kmeans_topk_sql(
+    k: int = 5, num_queries: int = 8, num_centroids: int = 16,
+    nprobe: int = 4, sample_cap: int = 1024, iters: int = 4,
+) -> str:
+    """Mirror of ann_topk_ivf(train=True): the k-means-TRAINED IVF probe.
+
+    Lloyd's with a fixed iteration count and a deterministic init (the
+    bounded sample rule above) is SQL-expressible by unrolling: each
+    iteration is assignment (nearest centroid, ties to the lower cid —
+    the engine's argmax) + an element-wise mean via lockstep
+    unnest/generate_subscripts + renormalization; clusters that receive
+    no vectors keep their previous centroid (stages/kmeans.py:113-116 —
+    `np.where(counts > 0, sums/counts, cents)` then `_unit_rows`).
+    cents0 is normalized TWICE (once in ivf_centroids, once by
+    kmeans_fit's `_unit_rows(init)`) to mirror the engine's float path
+    bit-for-bit as closely as SQL allows; remaining float-sum
+    associativity differences are absorbed by the 6-decimal rounding and
+    the (cos DESC, vec_id) tiebreak. Probe/topk tail is shared with the
+    sampled-centroid oracle."""
+    body = [_ivf_head_sql(num_centroids, sample_cap)]
+    body.append(f""",
+cents0 AS (SELECT cid, {_norm_expr('u')} AS u FROM cents)""")
+    prev = "cents0"
+    for it in range(1, iters + 1):
+        body.append(f""",
+kassign{it} AS (
+  SELECT v.vec_id, c.cid, v.u,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_inner_product(v.u, c.u) DESC, c.cid)
+           AS r
+  FROM unitv v CROSS JOIN {prev} c
+),
+kmean{it} AS (
+  SELECT cid, i, sum(x) / count(*) AS mx
+  FROM (SELECT a.cid, generate_subscripts(a.u, 1) AS i, unnest(a.u) AS x
+        FROM kassign{it} a WHERE a.r = 1)
+  GROUP BY cid, i
+),
+kml{it} AS (SELECT cid, list(mx ORDER BY i) AS mu FROM kmean{it} GROUP BY cid),
+cents{it} AS (
+  SELECT p.cid,
+         CASE WHEN m.mu IS NULL THEN {_norm_expr('p.u')}
+              ELSE {_norm_expr('m.mu')} END AS u
+  FROM {prev} p LEFT JOIN kml{it} m USING (cid)
+)""")
+        prev = f"cents{it}"
+    body.append(",\n" + _ivf_probe_tail_sql(prev, k, num_queries, nprobe))
+    return "".join(body)
 
 
 def hll_distinct_sql(column: str = "user_id", table: str = "events",

@@ -93,6 +93,20 @@ class TestEmbeddingOracle:
              con, dedup_oracles.ivf_topk_sql(),
              ["query_id", "rank"])
 
+    def test_ivf_kmeans_matches_sql(self, ray_session, sf_dir):
+        """The TRAINED probe: 4 unrolled Lloyd iterations in SQL must
+        reproduce the distributed-k-means engine path exactly."""
+        from kafka_connect_jdbc_flatten_ray.stages import ann
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        _cmp(ann.ann_topk_ivf(sf_dir, k=5, num_queries=8, train=True),
+             con, dedup_oracles.ivf_kmeans_topk_sql(),
+             ["query_id", "rank"])
+
     def test_hll_matches_sql(self, ray_session, sf_dir):
         import ray.data as rd
 
