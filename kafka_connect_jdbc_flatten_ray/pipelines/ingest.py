@@ -135,6 +135,7 @@ def flatten_envelopes(
     concurrency=(2, 8),
     batch_size: int | None = None,
     compute: str = "tasks",
+    hash_versions: dict[str, int] | None = None,
 ) -> ray.data.Dataset:
     """The flatten stage (ST1 plan cache amortized per worker).
 
@@ -153,7 +154,8 @@ def flatten_envelopes(
         from kafka_connect_jdbc_flatten_ray.stages.flatten_stage import make_flatten_fn
 
         return events.map_batches(
-            make_flatten_fn(cfg, topic, value_schema_name, key_schema_name),
+            make_flatten_fn(cfg, topic, value_schema_name, key_schema_name,
+                            hash_versions),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
@@ -161,7 +163,8 @@ def flatten_envelopes(
         )
     return events.map_batches(
         FlattenStage,
-        fn_constructor_args=(cfg, topic, value_schema_name, key_schema_name),
+        fn_constructor_args=(cfg, topic, value_schema_name, key_schema_name,
+                             hash_versions),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -257,7 +260,13 @@ def run_epoch(
     epoch = -1 if prev is None else prev
 
     prior_files: dict[tuple[str, int], str] = {}
-    stored_hv: int | None = None
+    # bucket layout is persistent PER TABLE: each existing table's recorded
+    # hash version wins over the config default so new epochs keep
+    # co-locating each key with its prior bucket (manifests without the
+    # field are legacy v1). Resolved per table — a partially migrated lake
+    # may legitimately mix versions, and forcing a global minimum would
+    # bucket v2 tables with the v1 hash (splitting keys from their state).
+    hash_versions: dict[str, int] = {}
     for tp in plan.tables:
         man = TableManifest(lake_root, tp.table)
         m = man.load()
@@ -265,29 +274,34 @@ def run_epoch(
             epoch = max(epoch, int(m["epoch"]))
             part = m.get("partitioning") or {}
             if part:
-                hv = int(part.get("hash_version", 1))
-                stored_hv = hv if stored_hv is None else min(stored_hv, hv)
+                hash_versions[tp.table] = int(part.get("hash_version", 1))
         for b, path in man.current_files().items():
             prior_files[(tp.table, b)] = path
     epoch += 1
-    # bucket layout is persistent: an existing lake's recorded hash version
-    # wins over the config default so new epochs keep co-locating each key
-    # with its prior bucket (manifests without the field are legacy v1)
-    if stored_hv is not None and stored_hv != cfg.hash_version:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, hash_version=stored_hv)
     offsets = ck.load()
 
     events = event_stream(sf_dir, num_partitions, True, replicate,
                           evolve_from=evolve_from)
     events = filter_after_checkpoint(events, offsets)
-    env = flatten_envelopes(events, cfg, concurrency=concurrency)
+    env = flatten_envelopes(events, cfg, concurrency=concurrency,
+                            hash_versions=hash_versions)
     stats_ds = env.groupby(["table", "bucket"]).map_groups(
         MergeToLake(lake_root, epoch, key_cols, prior_files, mode=mode),
         batch_format="pyarrow",
     )
-    stats = stats_ds.take_all()  # one small row per (table, bucket)
+    # claim this epoch on EVERY plan table before any merge task
+    # rename-publishes a bucket file (deterministic paths: a rival writer
+    # that computed the same epoch must lose before it can overwrite)
+    claims = {
+        tp.table: TableManifest(lake_root, tp.table).claim_epoch(epoch)
+        for tp in plan.tables
+    }
+    try:
+        stats = stats_ds.take_all()  # one small row per (table, bucket)
+    except Exception:
+        for t in claims:
+            TableManifest(lake_root, t).abandon_epoch(epoch)
+        raise
 
     # commit: per-table manifest swap, then checkpoint
     new_offsets = dict(offsets)
@@ -313,7 +327,7 @@ def run_epoch(
         part_info = {
             "num_buckets": cfg.num_buckets,
             "key_pk_cols": list(key_cols.get(t, ())),
-            "hash_version": cfg.hash_version,
+            "hash_version": hash_versions.get(t, cfg.hash_version),
         }
         tp = next((x for x in plan.tables if x.table == t), None)
         schema_str = str(tp.data_schema()) if tp is not None else None
@@ -321,12 +335,18 @@ def run_epoch(
             TableManifest(lake_root, t).publish(
                 epoch, {}, per_table[t], partitioning=part_info,
                 delta_files=files, schema_str=schema_str,
+                claim_nonce=claims.get(t),
             )
         else:
             TableManifest(lake_root, t).publish(
                 epoch, files, per_table[t], partitioning=part_info,
-                schema_str=schema_str,
+                schema_str=schema_str, claim_nonce=claims.get(t),
             )
+    # tables that saw no rows this epoch never publish: release their
+    # claims so the markers don't read as crashed writers
+    for t in claims:
+        if t not in bucket_files:
+            TableManifest(lake_root, t).abandon_epoch(epoch)
     ck.save(epoch, new_offsets, {"tables": per_table})
     # MoR auto-compaction policy: fold deltas once any bucket accumulates
     # more than the threshold (keeps read-time replay bounded)
@@ -414,6 +434,10 @@ def compact(lake_root: str, table: str) -> dict:
     files = manifest.current_files()
     key_pk_cols = tuple((m.get("partitioning") or {}).get("key_pk_cols", ()))
     epoch = int(m["epoch"]) + 1
+    # claim before the fold tasks rename-publish epoch data files: a rival
+    # compactor/ingester that computed the same epoch must lose BEFORE it
+    # can overwrite this writer's files (data paths are deterministic)
+    nonce = manifest.claim_epoch(epoch)
     work = [
         {"bucket": b, "base": files.get(b, ""),
          "deltas": ";".join(deltas.get(b, []))}
@@ -459,14 +483,19 @@ def compact(lake_root: str, table: str) -> dict:
                               "rows": _pa.array([], _pa.int64())})
         return _pa.Table.from_pylist(rows)
 
-    res = ray.data.from_items(work).map_batches(
-        _fold, batch_format="pyarrow", batch_size=1
-    ).take_all()
+    try:
+        res = ray.data.from_items(work).map_batches(
+            _fold, batch_format="pyarrow", batch_size=1
+        ).take_all()
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
     bucket_files = {int(r["bucket"]): r["path"] for r in res}
     manifest.publish(
         epoch, bucket_files, {"compacted": True,
                               "rows_out": int(sum(r["rows"] for r in res))},
         clear_deltas=True,
+        claim_nonce=nonce,
     )
     return {"buckets": len(res), "epoch": epoch}
 

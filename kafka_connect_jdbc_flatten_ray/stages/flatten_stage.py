@@ -128,6 +128,7 @@ def make_flatten_fn(
     topic: str,
     value_schema_name: str | None,
     key_schema_name: str | None = None,
+    hash_versions: dict[str, int] | None = None,
 ):
     """A plain-function flatten stage for ``map_batches`` (stateless tasks).
 
@@ -136,12 +137,14 @@ def make_flatten_fn(
     actor-pool startup and scales elastically with the cluster. Use the
     FlattenStage actor pool when stage state is genuinely heavy.
     """
-    key = (cfg, topic, value_schema_name, key_schema_name)
+    key = (cfg, topic, value_schema_name, key_schema_name,
+           tuple(sorted((hash_versions or {}).items())))
 
     def flatten_stage_fn(batch: pa.Table) -> pa.Table:
         stage = _WORKER_STAGES.get(key)
         if stage is None:
-            stage = FlattenStage(cfg, topic, value_schema_name, key_schema_name)
+            stage = FlattenStage(cfg, topic, value_schema_name,
+                                 key_schema_name, hash_versions)
             _WORKER_STAGES[key] = stage
         return stage(batch)
 
@@ -157,8 +160,13 @@ class FlattenStage:
         topic: str,
         value_schema_name: str | None,
         key_schema_name: str | None = None,
+        hash_versions: dict[str, int] | None = None,
     ):
         self.cfg = cfg
+        # per-TABLE bucket-hash versions (a partially migrated lake may mix
+        # v1 and v2 tables; forcing one global version would bucket a v2
+        # table with the v1 hash and split keys from their prior state)
+        self.hash_versions = dict(hash_versions or {})
         self.topic = topic
         self.value_schema_name = value_schema_name
         self.key_schema_name = key_schema_name
@@ -217,7 +225,10 @@ class FlattenStage:
             tbl = local_prereduce(out[tp.table], tp.key_pk_cols)
             if tbl.num_rows == 0:
                 continue
-            b = bucket_of(tbl, tp.key_pk_cols, nb, self.cfg.hash_version)
+            b = bucket_of(
+                tbl, tp.key_pk_cols, nb,
+                self.hash_versions.get(tp.table, self.cfg.hash_version),
+            )
             if len(np.unique(b)) == 1:
                 groups = [(int(b[0]), tbl)]
             else:

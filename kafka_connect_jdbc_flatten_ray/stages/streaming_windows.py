@@ -21,11 +21,22 @@ closed ∪ open — equal, row for row, to batch sessionize over all events
 folded so far.
 
 WATERMARK ASSUMPTION: each key's events may arrive in any order WITHIN an
-epoch (the fold sorts), but epochs are per-key time-ordered — an event in
-epoch N at time t only continues the open session if t is not more than
-``gap_seconds`` before that session's recorded end; a genuinely late
-event older than the closed history would start a spurious session (the
-same trade every watermark-based streaming sessionizer makes).
+epoch (the fold sorts), but epochs are per-key time-ordered. The
+watermark is the stored open session's END (matching the as-of/trailing
+operators): an epoch event at time t >= the stored end folds EXACTLY —
+closed ∪ open equals batch sessionize row for row. An event with
+t < stored end is LATE (state only keeps the open session's min/max/count,
+so the fold cannot reconstruct how the event interleaved with already-
+folded history — the same trade every watermark-based streaming
+sessionizer makes); ``late_policy`` decides its fate:
+
+- ``"count"``  — fold it anyway (min/max/count absorb it; in-epoch gap
+  breaks may then diverge from batch) and report ``late_events``;
+- ``"error"``  — refuse the epoch (the claim is released for a rerun);
+- ``"quarantine"`` — divert late rows to a per-bucket dead-letter file
+  (``epoch-N.late.parquet``, recorded in the manifest epoch stats and
+  readable via :func:`read_quarantine`) and fold only the on-time rows,
+  keeping the on-time output exactly batch-equivalent.
 """
 
 from __future__ import annotations
@@ -33,15 +44,88 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
 
 STATE_TABLE = "session_state"
 
 _STATE_SCHEMA_COLS = ["key", "session_id", "n_events",
                       "session_start", "session_end"]
+
+#: loud upper bound for one bucket's epoch rows (same bound as
+#: stages/windows.MAX_GROUP_ROWS) — a trip means the bucket count no
+#: longer fits the key population; reshard_state is the remedy
+MAX_FOLD_ROWS = 10_000_000
+
+
+def _guard_fold(n: int, op: str, num_buckets: int,
+                limit: int | None = None) -> None:
+    # `limit` is captured DRIVER-side by each epoch function so the bound
+    # travels with the serialized closure into Ray workers (a module-global
+    # read in the worker would see the worker's import, not the driver's)
+    limit = MAX_FOLD_ROWS if limit is None else limit
+    if n > limit:
+        raise ValueError(
+            f"{op}: one bucket received {n} epoch rows (> {limit}) "
+            f"at num_buckets={num_buckets}; reshard_state(...) to more "
+            "buckets before folding epochs this large"
+        )
+
+
+def _stored_num_buckets(m: dict | None, num_buckets: int) -> int:
+    """Bucket layout is persistent: once the state table exists, its
+    recorded num_buckets always wins over the caller's argument — folding
+    with a different count would look up each key's prior state in the
+    wrong bucket file."""
+    part = (m or {}).get("partitioning") or {}
+    return int(part.get("num_buckets") or num_buckets)
+
+
+def _conform_chunk(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast a state chunk to the operator's state schema, adding columns a
+    legacy state file predates as nulls."""
+    arrays = [
+        t.column(f.name).cast(f.type) if f.name in t.schema.names
+        else pa.nulls(t.num_rows, f.type)
+        for f in schema
+    ]
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def _split_prior_state(
+    fs, prior_path: str | None, key: str, touched: np.ndarray,
+    schema: pa.Schema, staged: str,
+):
+    """Stream one bucket's prior state: rows for keys touched this epoch
+    come back in memory (bounded by the epoch's key count), every other
+    row streams row-group-by-row-group straight into the new state file's
+    writer — the whole bucket is never materialized on the fold task (at
+    100 TB a bucket's key population dwarfs any single epoch's). Returns
+    (touched_state_df | None, open ParquetWriter, carried_rows)."""
+    writer = pq.ParquetWriter(staged, schema, filesystem=fs)
+    if prior_path is None:
+        return None, writer, 0
+    vs = pa.array(touched)
+    parts: list[pa.Table] = []
+    carried = 0
+    with fs.open_input_file(prior_path) as f:
+        pf = pq.ParquetFile(f)
+        for i in range(pf.num_row_groups):
+            t = _conform_chunk(pf.read_row_group(i), schema)
+            mask = pc.is_in(t.column(key), value_set=vs)
+            hit = t.filter(mask)
+            if hit.num_rows:
+                parts.append(hit)
+            miss = t.filter(pc.invert(mask))
+            if miss.num_rows:
+                writer.write_table(miss)
+                carried += miss.num_rows
+    df = pa.concat_tables(parts).to_pandas() if parts else None
+    return df, writer, carried
 
 
 def _empty_sessions(key_name: str) -> pd.DataFrame:
@@ -59,14 +143,18 @@ def _empty_sessions(key_name: str) -> pd.DataFrame:
 def _fold_bucket(
     ev: pd.DataFrame, state: pd.DataFrame, key: str, ts: str,
     tiebreak: str, gap_us: int,
-) -> tuple[pd.DataFrame, pd.DataFrame, int]:
-    """(new open state, closed sessions, n_late) after folding one
-    bucket's epoch events into its prior open-session state. Vectorized
-    across keys. n_late counts first-events older than the stored open
-    session's start minus the gap — events batch sessionize would have
-    placed in an EARLIER (already-closed) session, i.e. genuine watermark
-    violations; events merely older than the stored END still fold
-    correctly (min/max/count absorb them)."""
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(new open state, closed sessions) after folding one bucket's epoch
+    events into its prior open-session state. Vectorized across keys.
+    Exact (== batch sessionize) when every event is at or after its key's
+    stored session end — late detection/diversion happens in the caller
+    (see the module watermark contract). A continuing segment's end is
+    max(segment max, stored end) so a late-but-folded event can never
+    regress the open session's end."""
+    cols = [key, "session_id", "n_events", "session_start", "session_end"]
+    if not len(ev):  # every event quarantined: all state carries through
+        return state[cols].copy() if len(state) else _empty_sessions(key), \
+            _empty_sessions(key)
     ev = ev.sort_values([key, ts, tiebreak], kind="stable")
     k = ev[key].to_numpy()
     t = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -95,8 +183,6 @@ def _fold_bucket(
         al_nev = np.full(len(kf), np.nan)
         in_state = np.zeros(len(kf), bool)
     cont_first = in_state & (tf - np.nan_to_num(al_end, nan=-np.inf) <= gap_us)
-    al_start_i = al_start.astype(np.int64)  # NaT -> int64 min
-    n_late = int((in_state & (tf < al_start_i - gap_us)).sum())
     # every key's first event opens a segment; later events open one on a
     # gap break. Segments are per-key by construction (first_of_key).
     seg_start_flag = first_of_key | gap_break
@@ -140,13 +226,19 @@ def _fold_bucket(
     # keys, aligned through key_no)
     starts = seg_min.astype("datetime64[us]")
     nevs = seg_n.copy()
+    ends_i = seg_max.copy()
     if n_segs:
         cont_idx = np.flatnonzero(seg_cont)
         if len(cont_idx):
             kidx = (np.cumsum(seg_first_of_key) - 1)[cont_idx]
             starts[cont_idx] = np.minimum(starts[cont_idx], al_start[kidx])
             nevs[cont_idx] += al_nev[kidx].astype(np.int64)
-    ends = seg_max.astype("datetime64[us]")
+            # stored end wins if the epoch's events are all older than it
+            # (late fold): the open session's end must never regress
+            ends_i[cont_idx] = np.maximum(
+                ends_i[cont_idx], al_end[kidx].astype(np.int64)
+            )
+    ends = ends_i.astype("datetime64[us]")
     sessions = pd.DataFrame(
         {
             key: seg_key,
@@ -178,7 +270,7 @@ def _fold_bucket(
         carried = _empty_sessions(key)
     open_out = pd.concat([new_open, carried], ignore_index=True)
     closed_out = pd.concat([closed, closed_stale], ignore_index=True)
-    return open_out, closed_out, n_late
+    return open_out, closed_out
 
 
 def sessionize_epoch(
@@ -194,19 +286,30 @@ def sessionize_epoch(
     """Fold one epoch of events into the lake-resident session state.
 
     Distributed: events bucket by the engine's stable key hash, one fold
-    task per touched bucket reads that bucket's prior state file (path
-    resolved through the manifest, read inside the task), and the commit
-    is a manifest swap guarded by the single-writer CAS. Buckets without
-    events this epoch keep their previous state file untouched."""
+    task per touched bucket streams that bucket's prior state (touched
+    keys into memory, the rest straight through to the new state file —
+    never the whole bucket in pandas), and the commit is a manifest swap
+    whose epoch number was CAS-claimed BEFORE any fold task wrote a data
+    file. Buckets without events this epoch keep their previous state
+    file untouched. ``num_buckets`` only applies when the state table is
+    created; afterwards the manifest's recorded layout wins. Late events
+    (older than their key's stored open-session end) follow
+    ``late_policy`` — see the module docstring."""
     from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
-    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
     manifest = TableManifest(state_root, STATE_TABLE)
     m = manifest.load()
     epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
     prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
     fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
     gap_us = gap_seconds * 1_000_000
+    st_schema = pa.schema([
+        (key, pa.int64()), ("session_id", pa.int64()),
+        ("n_events", pa.int64()), ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")),
+    ])
 
     def _bucket(t: pa.Table) -> pa.Table:
         h = stable_row_hash(t, (key,))
@@ -216,69 +319,109 @@ def sessionize_epoch(
 
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["__bucket"].iloc[0])
-        prior_path = prior.get(bucket)
-        state = (
-            pq.read_table(prior_path, filesystem=fs).to_pandas()
-            if prior_path else _empty_sessions(key)
-        )
-        open_out, closed_out, n_late = _fold_bucket(
-            g.drop(columns="__bucket"), state, key, ts, tiebreak, gap_us
-        )
+        ev = g.drop(columns="__bucket")
+        _guard_fold(len(ev), "sessionize_epoch", num_buckets, fold_limit)
         out_dir = fsx.join(root, STATE_TABLE, f"bucket={bucket:05d}")
         fsx.makedirs(fs, out_dir)
         state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
         staged = fsx.staging_path(fs, state_path)
-        pq.write_table(pa.Table.from_pandas(open_out, preserve_index=False),
-                       staged, filesystem=fs)
+        touched = np.unique(ev[key].to_numpy())
+        state, writer, carried_rows = _split_prior_state(
+            fs, prior.get(bucket), key, touched, st_schema, staged
+        )
+        if state is None:
+            state = _empty_sessions(key)
+        # LATE = older than the key's stored open-session END (per row)
+        ev_ts = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(state):
+            endmap = pd.Series(
+                state["session_end"].to_numpy()
+                .astype("datetime64[us]").astype(np.int64),
+                index=state[key].to_numpy(), dtype="float64",
+            )
+            per_row = endmap.reindex(ev[key].to_numpy()).to_numpy()
+            late = ev_ts < np.nan_to_num(per_row, nan=-np.inf)
+        else:
+            late = np.zeros(len(ev), bool)
+        n_late = int(late.sum())
+        late_path = ""
+        if late_policy == "quarantine" and n_late:
+            late_path = fsx.join(out_dir, f"epoch-{epoch:06d}.late.parquet")
+            lstaged = fsx.staging_path(fs, late_path)
+            pq.write_table(
+                pa.Table.from_pandas(ev[late], preserve_index=False),
+                lstaged, filesystem=fs,
+            )
+            fsx.publish_file(fs, lstaged, late_path)
+            ev = ev[~late]
+        open_out, closed_out = _fold_bucket(ev, state, key, ts, tiebreak, gap_us)
+        writer.write_table(
+            pa.Table.from_pandas(open_out, preserve_index=False)
+            .select(st_schema.names).cast(st_schema)
+        )
+        writer.close()
         fsx.publish_file(fs, staged, state_path)
         closed_path = ""
         if len(closed_out):
             closed_path = fsx.join(out_dir, f"epoch-{epoch:06d}.closed.parquet")
-            staged = fsx.staging_path(fs, closed_path)
+            cstaged = fsx.staging_path(fs, closed_path)
             pq.write_table(
                 pa.Table.from_pandas(closed_out, preserve_index=False),
-                staged, filesystem=fs,
+                cstaged, filesystem=fs,
             )
-            fsx.publish_file(fs, staged, closed_path)
+            fsx.publish_file(fs, cstaged, closed_path)
         return pd.DataFrame(
             {
                 "bucket": [bucket],
                 "state_path": [state_path],
                 "closed_path": [closed_path],
-                "open_sessions": [len(open_out)],
+                "late_path": [late_path],
+                "open_sessions": [len(open_out) + carried_rows],
                 "closed_sessions": [len(closed_out)],
                 "late_events": [n_late],
             }
         )
 
     _fold.__name__ = "sessionize_fold"
-    stats = (
-        events.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(_fold, batch_format="pandas")
-        .take_all()
-    )
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            events.map_batches(_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pandas")
+            .take_all()
+        )
+        n_late = int(sum(r["late_events"] for r in stats))
+        if late_policy == "error" and n_late:
+            raise ValueError(
+                f"{n_late} late events violate the per-key cross-epoch "
+                "time order (older than a stored open session's end); "
+                "rerun with late_policy='quarantine' to dead-letter them "
+                "or 'count' to fold them approximately"
+            )
+    except Exception:
+        manifest.abandon_epoch(epoch)  # our claim (nonce held): rerunnable
+        raise
     bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
     closed_files = {
         int(r["bucket"]): r["closed_path"] for r in stats if r["closed_path"]
     }
-    n_late = int(sum(r["late_events"] for r in stats))
-    if late_policy == "error" and n_late:
-        raise ValueError(
-            f"{n_late} late events violate the per-key cross-epoch time "
-            "order (older than a stored session start - gap); rerun with "
-            "late_policy='count' to fold them as new sessions"
-        )
+    late_files = {
+        str(r["bucket"]): r["late_path"] for r in stats if r["late_path"]
+    }
     manifest.publish(
         epoch, bucket_files,
         {
             "open_sessions": int(sum(r["open_sessions"] for r in stats)),
             "closed_sessions": int(sum(r["closed_sessions"] for r in stats)),
             "late_events": n_late,
+            **({"late_files": late_files} if late_files else {}),
         },
         partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
                       "hash_version": 2},
         delta_files=closed_files,
+        claim_nonce=nonce,
     )
     return {
         "epoch": epoch,
@@ -331,17 +474,27 @@ def asof_epoch(
     watermark). This epoch's joined left rows append as per-bucket output
     files; the union over epochs equals the batch as-of join under the
     per-key cross-epoch time order assumption. Epoch events OLDER than
-    their key's stored watermark are counted as late (they may receive a
-    right value from their future); ``late_policy='error'`` refuses the
-    epoch instead. Same manifest/CAS commit shape as sessionize_epoch."""
+    their key's stored watermark are late (they may receive a right value
+    from their future): ``late_policy`` is ``"count"`` (fold anyway),
+    ``"error"`` (refuse the epoch), or ``"quarantine"`` (dead-letter the
+    late rows and fold only on-time rows — see read_quarantine). Same
+    manifest/CAS commit shape as sessionize_epoch: the epoch number is
+    claimed before any fold task writes, prior state streams (touched
+    keys in memory, the rest straight through), and the manifest's
+    recorded num_buckets wins once the table exists."""
     from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
-    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
     manifest = TableManifest(state_root, ASOF_TABLE)
     m = manifest.load()
     epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
     prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
     fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
+    st_schema = pa.schema([
+        (key, pa.int64()), ("last_value", pa.float64()),
+        ("last_ts", pa.timestamp("us")),
+    ])
 
     def _bucket(t: pa.Table) -> pa.Table:
         h = stable_row_hash(t, (key,))
@@ -351,18 +504,22 @@ def asof_epoch(
 
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["__bucket"].iloc[0])
-        prior_path = prior.get(bucket)
-        state = (
-            pq.read_table(prior_path, filesystem=fs).to_pandas()
-            if prior_path else pd.DataFrame(
+        g = g.drop(columns="__bucket")
+        _guard_fold(len(g), "asof_epoch", num_buckets, fold_limit)
+        out_dir = fsx.join(root, ASOF_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        touched = np.unique(g[key].to_numpy())
+        state, writer, _carried = _split_prior_state(
+            fs, prior.get(bucket), key, touched, st_schema, staged
+        )
+        if state is None:
+            state = pd.DataFrame(
                 {key: pd.Series([], dtype="int64"),
                  "last_value": pd.Series([], dtype="float64"),
                  "last_ts": pd.Series([], dtype="datetime64[us]")}
             )
-        )
-        if "last_ts" not in state.columns:  # pre-watermark state files
-            state["last_ts"] = pd.Series(
-                np.full(len(state), np.datetime64("NaT", "us")))
         carry = dict(zip(state[key].to_numpy(), state["last_value"].to_numpy()))
         wm = dict(zip(
             state[key].to_numpy(),
@@ -374,7 +531,36 @@ def asof_epoch(
         # late = older than the key's stored watermark (vectorized map)
         wm_s = pd.Series(wm, dtype="float64")
         wm_per_row = wm_s.reindex(k).to_numpy()
-        n_late = int((t_us < np.nan_to_num(wm_per_row, nan=-np.inf)).sum())
+        late = t_us < np.nan_to_num(wm_per_row, nan=-np.inf)
+        n_late = int(late.sum())
+        late_path = ""
+        if late_policy == "quarantine" and n_late:
+            late_path = fsx.join(out_dir, f"epoch-{epoch:06d}.late.parquet")
+            lstaged = fsx.staging_path(fs, late_path)
+            pq.write_table(
+                pa.Table.from_pandas(g[late], preserve_index=False),
+                lstaged, filesystem=fs,
+            )
+            fsx.publish_file(fs, lstaged, late_path)
+            g, k, t_us = g[~late], k[~late], t_us[~late]
+        if not len(g):  # every event quarantined: state carries unchanged
+            out = pd.DataFrame(
+                {key: pd.Series([], dtype="int64"),
+                 tiebreak: pd.Series([], dtype="int64"),
+                 ts: pd.Series([], dtype="datetime64[us]"),
+                 "asof_value": pd.Series([], dtype="float64")}
+            )
+            writer.write_table(
+                pa.Table.from_pandas(state, preserve_index=False)
+                .select(st_schema.names).cast(st_schema)
+            )
+            writer.close()
+            fsx.publish_file(fs, staged, state_path)
+            return pd.DataFrame(
+                {"bucket": [bucket], "state_path": [state_path],
+                 "joined_path": [""], "late_path": [late_path],
+                 "joined_rows": [0], "late_events": [n_late]}
+            )
         vals = g[value_col].to_numpy(dtype=np.float64)
         is_right = (g[type_col] == right_type).to_numpy()
         # per-key forward-fill of right values, seeded by the carry-in
@@ -425,48 +611,58 @@ def asof_epoch(
                  {kk: np.datetime64(int(v), "us") for kk, v in wm.items()}
              ).reindex(all_keys).to_numpy().astype("datetime64[us]")}
         )
-        out_dir = fsx.join(root, ASOF_TABLE, f"bucket={bucket:05d}")
-        fsx.makedirs(fs, out_dir)
-        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
-        staged = fsx.staging_path(fs, state_path)
-        pq.write_table(pa.Table.from_pandas(new_state, preserve_index=False),
-                       staged, filesystem=fs)
+        writer.write_table(
+            pa.Table.from_pandas(new_state, preserve_index=False)
+            .select(st_schema.names).cast(st_schema)
+        )
+        writer.close()
         fsx.publish_file(fs, staged, state_path)
         joined_path = ""
         if len(out):
             joined_path = fsx.join(out_dir, f"epoch-{epoch:06d}.joined.parquet")
-            staged = fsx.staging_path(fs, joined_path)
+            jstaged = fsx.staging_path(fs, joined_path)
             pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
-                           staged, filesystem=fs)
-            fsx.publish_file(fs, staged, joined_path)
+                           jstaged, filesystem=fs)
+            fsx.publish_file(fs, jstaged, joined_path)
         return pd.DataFrame(
             {"bucket": [bucket], "state_path": [state_path],
-             "joined_path": [joined_path], "joined_rows": [len(out)],
-             "late_events": [n_late]}
+             "joined_path": [joined_path], "late_path": [late_path],
+             "joined_rows": [len(out)], "late_events": [n_late]}
         )
 
     _fold.__name__ = "asof_fold"
-    stats = (
-        events.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(_fold, batch_format="pandas")
-        .take_all()
-    )
-    n_late = int(sum(r["late_events"] for r in stats))
-    if late_policy == "error" and n_late:
-        raise ValueError(
-            f"{n_late} late events violate the per-key cross-epoch time "
-            "order (older than the stored watermark)"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            events.map_batches(_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pandas")
+            .take_all()
         )
+        n_late = int(sum(r["late_events"] for r in stats))
+        if late_policy == "error" and n_late:
+            raise ValueError(
+                f"{n_late} late events violate the per-key cross-epoch time "
+                "order (older than the stored watermark)"
+            )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    late_files = {
+        str(r["bucket"]): r["late_path"] for r in stats if r["late_path"]
+    }
     manifest.publish(
         epoch,
         {int(r["bucket"]): r["state_path"] for r in stats},
         {"joined_rows": int(sum(r["joined_rows"] for r in stats)),
-         "late_events": n_late},
+         "late_events": n_late,
+         **({"late_files": late_files} if late_files else {})},
         partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
                       "hash_version": 2},
         delta_files={int(r["bucket"]): r["joined_path"]
                      for r in stats if r["joined_path"]},
+        claim_nonce=nonce,
     )
     return {"epoch": epoch,
             "joined_rows": int(sum(r["joined_rows"] for r in stats)),
@@ -512,16 +708,24 @@ def trailing_epoch(
     the per-key cross-epoch time order assumption (epoch boundaries must
     also not split a (key, ts) tie group — RANGE windows count ts-peers
     bidirectionally, and an already-emitted count cannot see later peers).
-    Same manifest/CAS commit shape as the other incremental operators."""
+    Late rows (older than their key's stored max timestamp) follow
+    ``late_policy`` (count/error/quarantine). Same manifest/CAS commit
+    shape as the other incremental operators: epoch claimed before fold
+    tasks write, prior state streamed (touched keys in memory, the rest
+    straight through), recorded num_buckets wins once the table exists."""
     from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
-    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
     manifest = TableManifest(state_root, TRAILING_TABLE)
     m = manifest.load()
     epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
     prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
     fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
     w_us = window_seconds * 1_000_000
+    st_schema = pa.schema([
+        (key, pa.int64()), (id_col, pa.int64()), (ts, pa.timestamp("us")),
+    ])
 
     def _bucket(t: pa.Table) -> pa.Table:
         h = stable_row_hash(t, (key,))
@@ -531,16 +735,23 @@ def trailing_epoch(
 
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["__bucket"].iloc[0])
-        prior_path = prior.get(bucket)
-        state = (
-            pq.read_table(prior_path, filesystem=fs).to_pandas()
-            if prior_path else pd.DataFrame(
+        ev0 = g.drop(columns="__bucket")[[key, id_col, ts]]
+        _guard_fold(len(ev0), "trailing_epoch", num_buckets, fold_limit)
+        out_dir = fsx.join(root, TRAILING_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        touched = np.unique(ev0[key].to_numpy())
+        state, writer, _carried = _split_prior_state(
+            fs, prior.get(bucket), key, touched, st_schema, staged
+        )
+        if state is None:
+            state = pd.DataFrame(
                 {key: pd.Series([], dtype="int64"),
                  id_col: pd.Series([], dtype="int64"),
                  ts: pd.Series([], dtype="datetime64[us]")}
             )
-        )
-        ev = g.drop(columns="__bucket")[[key, id_col, ts]].assign(__own=True)
+        ev = ev0.assign(__own=True)
         st = state.assign(__own=False)
         # late = epoch events older than their key's stored max timestamp
         # (part of their trailing window may already be discarded)
@@ -552,9 +763,20 @@ def trailing_epoch(
             )
             ev_ts_i = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
             per_row = st_max_i.reindex(ev[key].to_numpy()).to_numpy()
-            n_late = int((ev_ts_i < np.nan_to_num(per_row, nan=-np.inf)).sum())
+            late = ev_ts_i < np.nan_to_num(per_row, nan=-np.inf)
         else:
-            n_late = 0
+            late = np.zeros(len(ev), bool)
+        n_late = int(late.sum())
+        late_path = ""
+        if late_policy == "quarantine" and n_late:
+            late_path = fsx.join(out_dir, f"epoch-{epoch:06d}.late.parquet")
+            lstaged = fsx.staging_path(fs, late_path)
+            pq.write_table(
+                pa.Table.from_pandas(ev0[late], preserve_index=False),
+                lstaged, filesystem=fs,
+            )
+            fsx.publish_file(fs, lstaged, late_path)
+            ev = ev[~late]
         both = pd.concat([st, ev], ignore_index=True).sort_values(
             [key, ts, id_col], kind="stable"
         )
@@ -594,47 +816,57 @@ def trailing_epoch(
                 ts: both[ts].to_numpy()[keep].astype("datetime64[us]"),
             }
         )
-        out_dir = fsx.join(root, TRAILING_TABLE, f"bucket={bucket:05d}")
-        fsx.makedirs(fs, out_dir)
-        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
-        staged = fsx.staging_path(fs, state_path)
-        pq.write_table(pa.Table.from_pandas(new_state, preserve_index=False),
-                       staged, filesystem=fs)
+        writer.write_table(
+            pa.Table.from_pandas(new_state, preserve_index=False)
+            .select(st_schema.names).cast(st_schema)
+        )
+        writer.close()
         fsx.publish_file(fs, staged, state_path)
         counts_path = ""
         if len(out):
             counts_path = fsx.join(out_dir, f"epoch-{epoch:06d}.counts.parquet")
-            staged = fsx.staging_path(fs, counts_path)
+            cstaged = fsx.staging_path(fs, counts_path)
             pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
-                           staged, filesystem=fs)
-            fsx.publish_file(fs, staged, counts_path)
+                           cstaged, filesystem=fs)
+            fsx.publish_file(fs, cstaged, counts_path)
         return pd.DataFrame(
             {"bucket": [bucket], "state_path": [state_path],
-             "counts_path": [counts_path], "rows": [len(out)],
-             "late_events": [n_late]}
+             "counts_path": [counts_path], "late_path": [late_path],
+             "rows": [len(out)], "late_events": [n_late]}
         )
 
     _fold.__name__ = "trailing_fold"
-    stats = (
-        events.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(_fold, batch_format="pandas")
-        .take_all()
-    )
-    n_late = int(sum(r["late_events"] for r in stats))
-    if late_policy == "error" and n_late:
-        raise ValueError(
-            f"{n_late} late events violate the per-key cross-epoch time "
-            "order (older than the stored per-key max timestamp)"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            events.map_batches(_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pandas")
+            .take_all()
         )
+        n_late = int(sum(r["late_events"] for r in stats))
+        if late_policy == "error" and n_late:
+            raise ValueError(
+                f"{n_late} late events violate the per-key cross-epoch time "
+                "order (older than the stored per-key max timestamp)"
+            )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    late_files = {
+        str(r["bucket"]): r["late_path"] for r in stats if r["late_path"]
+    }
     manifest.publish(
         epoch,
         {int(r["bucket"]): r["state_path"] for r in stats},
-        {"rows": int(sum(r["rows"] for r in stats)), "late_events": n_late},
+        {"rows": int(sum(r["rows"] for r in stats)), "late_events": n_late,
+         **({"late_files": late_files} if late_files else {})},
         partitioning={"num_buckets": num_buckets, "key_pk_cols": [key],
                       "hash_version": 2},
         delta_files={int(r["bucket"]): r["counts_path"]
                      for r in stats if r["counts_path"]},
+        claim_nonce=nonce,
     )
     return {"epoch": epoch, "rows": int(sum(r["rows"] for r in stats)),
             "late_events": n_late}
@@ -642,8 +874,6 @@ def trailing_epoch(
 
 def read_trailing(state_root: str) -> ray.data.Dataset:
     """All trailing-window counts folded so far (union over epochs)."""
-    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
-
     manifest = TableManifest(state_root, TRAILING_TABLE)
     fs, _ = fsx.resolve(state_root)
     files: list[str] = []
@@ -652,3 +882,98 @@ def read_trailing(state_root: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(sorted(files), filesystem=fs)
     drop = [c for c in ("bucket",) if c in ds.schema().names]
     return ds.drop_columns(drop) if drop else ds
+
+
+# ---------------------------------------------------------------------------
+# dead-letter + reshard maintenance shared by the incremental operators
+# ---------------------------------------------------------------------------
+
+
+def read_quarantine(state_root: str, table: str = STATE_TABLE) -> ray.data.Dataset:
+    """Dead-lettered late events across epochs (``late_policy='quarantine'``)
+    for one incremental state table — inspectable and replayable (an
+    operator can re-fold them after widening the watermark upstream)."""
+    manifest = TableManifest(state_root, table)
+    fs, _ = fsx.resolve(state_root)
+    m = manifest.load() or {}
+    files: list[str] = []
+    for e in m.get("epochs", []):
+        files.extend((e.get("late_files") or {}).values())
+    if not files:
+        return ray.data.from_items([])
+    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    drop = [c for c in ("bucket",) if c in ds.schema().names]
+    return ds.drop_columns(drop) if drop else ds
+
+
+def reshard_state(
+    state_root: str, table: str, new_num_buckets: int, key: str = "user_id"
+) -> dict:
+    """Re-bucket an incremental state table — the scale path when the key
+    population outgrows the layout it was created with (the fold guard
+    trips, or keys-per-bucket drifts past memory comfort). Reads the
+    current per-bucket state as one Dataset, re-assigns buckets with the
+    same stable key hash at the new count, writes one state file per new
+    bucket, and publishes them as a manifest epoch that REPLACES the
+    bucket map (partitioning records the new count, so subsequent epoch
+    folds pick it up automatically). Delta files (closed/joined/counts
+    history) are bucket-agnostic on the read path and stay referenced
+    unchanged."""
+    from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+
+    manifest = TableManifest(state_root, table)
+    m = manifest.load()
+    if not m:
+        raise ValueError(f"state table {table} has no manifest at {state_root}")
+    epoch = int(m["epoch"]) + 1
+    nonce = manifest.claim_epoch(epoch)
+    fs, root = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+
+    def _rebucket(t: pa.Table) -> pa.Table:
+        if "bucket" in t.schema.names:  # hive partition col from the read
+            t = t.drop_columns(["bucket"])
+        h = stable_row_hash(t, (key,))
+        return t.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(new_num_buckets)).astype(np.int32)),
+        )
+
+    def _write(t: pa.Table) -> pa.Table:
+        bucket = int(t.column("__bucket")[0].as_py())
+        out_dir = fsx.join(root, table, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, path)
+        body = t.drop_columns(["__bucket"])
+        pq.write_table(body, staged, filesystem=fs)
+        fsx.publish_file(fs, staged, path)
+        return pa.table({"bucket": pa.array([bucket], pa.int64()),
+                         "path": pa.array([path]),
+                         "rows": pa.array([body.num_rows], pa.int64())})
+
+    try:
+        stats = (
+            ray.data.read_parquet(files, filesystem=fs)
+            .map_batches(_rebucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_write, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    part = dict(m.get("partitioning") or {})
+    part["num_buckets"] = new_num_buckets
+    manifest.publish(
+        epoch,
+        {int(r["bucket"]): r["path"] for r in stats},
+        {"resharded_to": new_num_buckets,
+         "rows": int(sum(r["rows"] for r in stats))},
+        partitioning=part,
+        replace_buckets=True,
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "num_buckets": new_num_buckets,
+            "buckets_written": len(stats)}

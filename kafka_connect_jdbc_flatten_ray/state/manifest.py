@@ -46,6 +46,34 @@ class TableManifest:
             return {}
         return {int(b): list(ps) for b, ps in (m.get("deltas") or {}).items()}
 
+    def _marker(self, epoch: int) -> str:
+        return posixpath.join(self.dir, "_epochs", f"epoch-{epoch:06d}.json")
+
+    def claim_epoch(self, epoch: int) -> str:
+        """Claim the epoch number BEFORE any data file is written.
+
+        Single-writer CAS (the analogue of the reference's concurrent-DDL
+        retry contract, DbStructure.java:127-234 amendIfNecessary): the
+        claim is an exclusive marker create carrying a per-writer nonce.
+        Epoch data files live at deterministic paths
+        (``bucket=N/epoch-M.parquet``), so two writers that both computed
+        epoch M would overwrite each other's files if the loser were
+        allowed to run its fold tasks — claiming up front makes the loser
+        fail with ConcurrentWriteError before it writes anything. Returns
+        the nonce; pass it to :meth:`publish` so the commit can verify the
+        claim is still ours. A writer that crashed after claiming leaves a
+        stale marker; ``abandon_epoch(epoch)`` clears it after operator
+        review (indistinguishable from a live writer without leases)."""
+        import secrets
+
+        nonce = secrets.token_hex(8)
+        fsx.makedirs(self.fs, posixpath.join(self.dir, "_epochs"))
+        fsx.create_exclusive(
+            self.fs, self._marker(epoch),
+            json.dumps({"epoch": epoch, "writer": nonce}).encode(),
+        )
+        return nonce
+
     def publish(
         self,
         epoch: int,
@@ -55,6 +83,8 @@ class TableManifest:
         partitioning: dict | None = None,
         delta_files: dict[int, str] | None = None,
         clear_deltas: bool = False,
+        claim_nonce: str | None = None,
+        replace_buckets: bool = False,
     ) -> None:
         """Atomic manifest swap: current state becomes the new epoch's files.
 
@@ -65,22 +95,32 @@ class TableManifest:
         ``delta_files`` (merge-on-read epochs) append per-bucket delta
         files instead of replacing base files; ``clear_deltas`` (compaction)
         drops all delta references after folding them into new bases.
+
+        ``claim_nonce``: the token from :meth:`claim_epoch` when the epoch
+        was claimed up front (required for writers whose fold tasks publish
+        data files before the commit); verified against the marker so a
+        writer whose claim was abandoned-and-reclaimed cannot commit over
+        the new owner. Without a nonce the marker is claimed here (legacy
+        commit-time CAS — safe only when no data file was written before).
         """
-        # single-writer CAS (the analogue of the reference's concurrent-DDL
-        # retry contract, DbStructure.java:127-234 amendIfNecessary): claim
-        # the epoch number with an exclusive marker create BEFORE the swap.
-        # A second writer racing the same epoch loses loudly with
-        # ConcurrentWriteError instead of silently last-write-winning the
-        # manifest. A writer that crashed between claim and swap leaves a
-        # stale marker; abandon_epoch(epoch) clears it after operator
-        # review (indistinguishable from a live writer without leases).
-        fsx.makedirs(self.fs, posixpath.join(self.dir, "_epochs"))
-        marker = posixpath.join(self.dir, "_epochs", f"epoch-{epoch:06d}.json")
-        fsx.create_exclusive(
-            self.fs, marker, json.dumps({"epoch": epoch, **stats}).encode()
-        )
+        marker = self._marker(epoch)
+        if claim_nonce is not None:
+            got = json.loads(fsx.read_bytes(self.fs, marker))
+            if got.get("writer") != claim_nonce:
+                raise fsx.ConcurrentWriteError(
+                    f"epoch {epoch} marker is owned by another writer "
+                    f"({got.get('writer')!r}); refusing to commit"
+                )
+        else:
+            fsx.makedirs(self.fs, posixpath.join(self.dir, "_epochs"))
+            fsx.create_exclusive(
+                self.fs, marker, json.dumps({"epoch": epoch, **stats}).encode()
+            )
         prev = self.load() or {"buckets": {}, "epochs": []}
-        buckets = {int(b): p for b, p in prev["buckets"].items()}
+        # replace_buckets: the new map IS the state (reshard — stale ids
+        # from the old layout must not survive the merge)
+        buckets = ({} if replace_buckets
+                   else {int(b): p for b, p in prev["buckets"].items()})
         buckets.update(bucket_files)
         deltas = {int(b): list(ps) for b, ps in (prev.get("deltas") or {}).items()}
         if clear_deltas:

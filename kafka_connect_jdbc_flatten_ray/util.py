@@ -19,8 +19,13 @@ def fsl_to_numpy(col, dtype=None):
     if pa.types.is_fixed_size_list(col.type):
         width = col.type.list_size
         assert len(flat) == n * width, "fixed-size-list flatten misaligned"
+    elif n == 0:
+        # empty block (Ray emits them after filters / skewed splits): no
+        # rows to infer the width from — [0, 0] keeps matmul-shaped callers
+        # total-row-count-correct without a crash
+        width = 0
     else:  # variable list<T> with uniform element count (e.g. embeddings)
-        assert n > 0 and len(flat) % n == 0, "ragged list column"
+        assert len(flat) % n == 0, "ragged list column"
         width = len(flat) // n
     mat = np.asarray(flat).reshape(n, width)
     return mat.astype(dtype) if dtype is not None else mat

@@ -283,6 +283,185 @@ class TestPropertyEquivalence:
             pd.testing.assert_frame_equal(got, want)
 
 
+class TestLateFoldExactness:
+    """The round-3 advisor repro cases: epoch events older than the stored
+    open session's END must be flagged late, and a late-but-folded event
+    must never regress the stored end."""
+
+    def _ev(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")
+                 + np.timedelta64(r[2], "s") for r in rows])),
+        }))
+
+    def test_end_never_regresses(self, ray_session, tmp_path):
+        # state {start 0, end 500, n 2}; epoch event at t=400 (< stored
+        # end) is LATE, and under count-policy the fold keeps end=500
+        root = str(tmp_path / "s")
+        sw.sessionize_epoch(self._ev([(1, 0, 0), (1, 1, 500)]), root,
+                            gap_seconds=600)
+        r = sw.sessionize_epoch(self._ev([(1, 2, 400)]), root, gap_seconds=600)
+        assert r["late_events"] == 1
+        df = sw.read_sessions(root).to_pandas()
+        assert len(df) == 1
+        assert df.iloc[0]["session_end"] == pd.Timestamp("2024-01-01T00:08:20")
+        assert df.iloc[0]["n_events"] == 3
+
+    def test_bridging_case_is_flagged_late(self, ray_session, tmp_path):
+        # state {start 0, end 500, n 2}; epoch events at 300 and 1000 —
+        # batch would bridge them through the stored event at 500 into ONE
+        # session; the fold cannot know that, so the t=300 row must be late
+        root = str(tmp_path / "s")
+        sw.sessionize_epoch(self._ev([(1, 0, 0), (1, 1, 500)]), root,
+                            gap_seconds=600)
+        r = sw.sessionize_epoch(self._ev([(1, 2, 300), (1, 3, 1000)]), root,
+                                gap_seconds=600)
+        assert r["late_events"] == 1  # silent divergence is gone
+
+    def test_on_time_exact_at_stored_end(self, ray_session, tmp_path):
+        # an event exactly AT the stored end is on time and folds exactly
+        root = str(tmp_path / "s")
+        sw.sessionize_epoch(self._ev([(1, 0, 0), (1, 1, 500)]), root,
+                            gap_seconds=600)
+        r = sw.sessionize_epoch(self._ev([(1, 2, 500)]), root, gap_seconds=600)
+        assert r["late_events"] == 0
+        df = sw.read_sessions(root).to_pandas()
+        assert len(df) == 1 and df.iloc[0]["n_events"] == 3
+
+
+class TestQuarantinePolicy:
+    def _ev(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")
+                 + np.timedelta64(r[2], "s") for r in rows])),
+            "event_type": pa.array([r[3] if len(r) > 3 else "click"
+                                    for r in rows]),
+            "value": pa.array([float(r[4]) if len(r) > 4 else 0.0
+                               for r in rows]),
+        }))
+
+    def test_sessionize_on_time_stays_batch_equal(self, ray_session, tmp_path):
+        """3 epochs with deliberately late events: the on-time output must
+        equal batch sessionize over the on-time events alone, and the
+        quarantine must hold exactly the late rows."""
+        root = str(tmp_path / "s")
+        sw.sessionize_epoch(
+            self._ev([(1, 0, 0), (1, 1, 500), (2, 2, 100)]), root,
+            gap_seconds=600, late_policy="quarantine")
+        r = sw.sessionize_epoch(
+            self._ev([(1, 3, 400), (1, 4, 900), (2, 5, 300)]), root,
+            gap_seconds=600, late_policy="quarantine")
+        assert r["late_events"] == 1  # event 3 (t=400 < stored end 500)
+        r = sw.sessionize_epoch(
+            self._ev([(2, 6, 200), (1, 7, 2000)]), root,
+            gap_seconds=600, late_policy="quarantine")
+        assert r["late_events"] == 1  # event 6 (t=200 < stored end 300)
+        on_time = self._ev([(1, 0, 0), (1, 1, 500), (2, 2, 100),
+                            (1, 4, 900), (2, 5, 300), (1, 7, 2000)])
+        got = _sorted_df(sw.read_sessions(root))
+        want = _sorted_df(sessionize(on_time, gap_seconds=600))
+        pd.testing.assert_frame_equal(got, want)
+        q = sw.read_quarantine(root).to_pandas()
+        assert sorted(q["event_id"]) == [3, 6]
+
+    def test_asof_quarantine(self, ray_session, tmp_path):
+        root = str(tmp_path / "a")
+        sw.asof_epoch(self._ev([(1, 0, 1000, "purchase", 5)]), root,
+                      late_policy="quarantine")
+        r = sw.asof_epoch(
+            self._ev([(1, 1, 100, "click", 0), (1, 2, 1500, "click", 0)]),
+            root, late_policy="quarantine")
+        assert r["late_events"] == 1
+        df = sw.read_asof(root).to_pandas().set_index("event_id")
+        assert list(df.index) == [2]  # the late click never joined
+        assert df.loc[2, "asof_value"] == 5.0
+        q = sw.read_quarantine(root, sw.ASOF_TABLE).to_pandas()
+        assert list(q["event_id"]) == [1]
+
+    def test_trailing_quarantine(self, ray_session, tmp_path):
+        root = str(tmp_path / "t")
+        sw.trailing_epoch(self._ev([(1, 0, 1000)]), root, window_seconds=600,
+                          late_policy="quarantine")
+        r = sw.trailing_epoch(self._ev([(1, 1, 100), (1, 2, 1200)]), root,
+                              window_seconds=600, late_policy="quarantine")
+        assert r["late_events"] == 1
+        df = sw.read_trailing(root).to_pandas().set_index("event_id")
+        # late event 1 neither emitted nor counted in event 2's window
+        assert list(df.loc[[0, 2], "n_trailing"]) == [1, 2]
+        assert 1 not in df.index
+        q = sw.read_quarantine(root, sw.TRAILING_TABLE).to_pandas()
+        assert list(q["event_id"]) == [1]
+
+    def test_error_policy_releases_claim_for_rerun(self, ray_session, tmp_path):
+        root = str(tmp_path / "s")
+        sw.sessionize_epoch(self._ev([(1, 0, 5000)]), root, gap_seconds=600)
+        with pytest.raises(ValueError, match="late events"):
+            sw.sessionize_epoch(self._ev([(1, 1, 0)]), root, gap_seconds=600,
+                                late_policy="error")
+        # the failed epoch's claim was released: a rerun (quarantine) works
+        r = sw.sessionize_epoch(self._ev([(1, 1, 0)]), root, gap_seconds=600,
+                                late_policy="quarantine")
+        assert r["late_events"] == 1 and r["epoch"] == 1
+
+
+class TestBucketLayout:
+    def _ev(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")
+                 + np.timedelta64(r[2], "s") for r in rows])),
+        }))
+
+    def test_stored_num_buckets_wins(self, ray_session, tmp_path):
+        """Folding a later epoch with a DIFFERENT num_buckets argument must
+        not mis-route keys: the manifest's recorded layout wins."""
+        root = str(tmp_path / "s")
+        rows1 = [(u, u, 0) for u in range(20)]
+        rows2 = [(u, 100 + u, 300) for u in range(20)]
+        sw.sessionize_epoch(self._ev(rows1), root, gap_seconds=600,
+                            num_buckets=4)
+        sw.sessionize_epoch(self._ev(rows2), root, gap_seconds=600,
+                            num_buckets=16)  # ignored: stored layout is 4
+        df = _sorted_df(sw.read_sessions(root))
+        want = _sorted_df(sessionize(self._ev(rows1 + rows2), gap_seconds=600))
+        pd.testing.assert_frame_equal(df, want)
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        m = TableManifest(root, sw.STATE_TABLE).load()
+        assert m["partitioning"]["num_buckets"] == 4
+
+    def test_reshard_then_fold(self, ray_session, tmp_path):
+        root = str(tmp_path / "s")
+        rows1 = [(u, u, 0) for u in range(30)]
+        rows2 = [(u, 100 + u, 300) for u in range(30)]
+        rows3 = [(u, 200 + u, 2000) for u in range(30)]
+        sw.sessionize_epoch(self._ev(rows1), root, gap_seconds=600,
+                            num_buckets=2)
+        sw.sessionize_epoch(self._ev(rows2), root, gap_seconds=600)
+        r = sw.reshard_state(root, sw.STATE_TABLE, 8)
+        assert r["num_buckets"] == 8
+        sw.sessionize_epoch(self._ev(rows3), root, gap_seconds=600)
+        df = _sorted_df(sw.read_sessions(root))
+        want = _sorted_df(sessionize(self._ev(rows1 + rows2 + rows3),
+                                     gap_seconds=600))
+        pd.testing.assert_frame_equal(df, want)
+
+    def test_fold_guard_trips(self, ray_session, tmp_path, monkeypatch):
+        monkeypatch.setattr(sw, "MAX_FOLD_ROWS", 3)
+        root = str(tmp_path / "s")
+        rows = [(1, i, i) for i in range(10)]
+        with pytest.raises(Exception, match="reshard_state"):
+            sw.sessionize_epoch(self._ev(rows), root, num_buckets=1)
+
+
 class TestLateEventPolicy:
     def _ev(self, rows):
         return ray.data.from_arrow(pa.table({
