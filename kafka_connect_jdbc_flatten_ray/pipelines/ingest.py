@@ -291,11 +291,17 @@ def run_epoch(
     )
     # claim this epoch on EVERY plan table before any merge task
     # rename-publishes a bucket file (deterministic paths: a rival writer
-    # that computed the same epoch must lose before it can overwrite)
-    claims = {
-        tp.table: TableManifest(lake_root, tp.table).claim_epoch(epoch)
-        for tp in plan.tables
-    }
+    # that computed the same epoch must lose before it can overwrite).
+    # On a mid-acquisition loss (the normal contention path) the claims
+    # already staked are released so the rival isn't blocked by our corpse.
+    claims: dict[str, str] = {}
+    try:
+        for tp in plan.tables:
+            claims[tp.table] = TableManifest(lake_root, tp.table).claim_epoch(epoch)
+    except Exception:
+        for t in claims:
+            TableManifest(lake_root, t).abandon_epoch(epoch)
+        raise
     try:
         stats = stats_ds.take_all()  # one small row per (table, bucket)
     except Exception:

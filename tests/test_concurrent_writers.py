@@ -43,6 +43,49 @@ class TestManifestCAS:
         with pytest.raises(ValueError, match="completed epoch"):
             m.abandon_epoch(1)
 
+    def test_publish_refuses_stale_nonce(self, tmp_path):
+        """A writer whose claim was abandoned-and-reclaimed must not commit
+        over the new owner: publish verifies the nonce in the marker."""
+        lake = str(tmp_path / "lake")
+        m = TableManifest(lake, "t")
+        stale = m.claim_epoch(0)
+        m.abandon_epoch(0)  # operator decides the writer is dead
+        fresh = TableManifest(lake, "t").claim_epoch(0)  # new owner
+        with pytest.raises(fsx.ConcurrentWriteError):
+            m.publish(0, {0: "f-stale"}, {}, claim_nonce=stale)
+        TableManifest(lake, "t").publish(0, {0: "f-fresh"}, {},
+                                         claim_nonce=fresh)
+        assert TableManifest(lake, "t").current_files() == {0: "f-fresh"}
+
+    def test_loser_writes_no_data_files(self, ray_session, sf_dir, tmp_path):
+        """Epoch data files live at deterministic paths, so the CAS must be
+        won BEFORE any fold task writes: a run_epoch that loses the claim
+        race leaves zero epoch data files behind (nothing for the winner
+        to have clobbered) and releases the claims it staked on the other
+        plan tables."""
+        import glob
+
+        from kafka_connect_jdbc_flatten_ray.pipelines import ingest
+
+        lake = str(tmp_path / "lake")
+        ingest.run_epoch(sf_dir, lake)  # epoch 0
+        m = TableManifest(lake, "cdc_filechange")
+        marker = posixpath.join(m.dir, "_epochs", "epoch-000001.json")
+        fsx.create_exclusive(m.fs, marker, b"{}")  # rival owns epoch 1
+        import shutil
+
+        shutil.rmtree(f"{lake}/_checkpoints")  # force a full re-ingest
+        with pytest.raises(fsx.ConcurrentWriteError):
+            ingest.run_epoch(sf_dir, lake)
+        # the loser never wrote an epoch-1 data file anywhere in the lake
+        assert glob.glob(f"{lake}/**/epoch-000001*.parquet",
+                         recursive=True) == []
+        # claims staked on OTHER tables before the loss were released
+        stray = [p for p in glob.glob(f"{lake}/**/epoch-000001.json",
+                                      recursive=True) if p != marker
+                 and "_epochs" in p]
+        assert stray == []
+
     def test_concurrent_run_epoch_loses_loudly(self, ray_session, sf_dir, tmp_path):
         """Two run_epoch calls racing one lake: the second writer (here: a
         claim planted for the epoch number run_epoch will allocate) fails
