@@ -12,14 +12,14 @@ from __future__ import annotations
 
 import ray.data
 
-from kafka_connect_jdbc_flatten_ray.util import default_pool
+from kafka_connect_jdbc_flatten_ray.util import default_pool, read_parquet_clean
 
 from kafka_connect_jdbc_flatten_ray.pipelines import dedup_oracles
 from kafka_connect_jdbc_flatten_ray.stages import ann, dedup, textops
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -55,7 +55,7 @@ def q_dedup_clusters(sf_dir: str):
 def q_approx_distinct_users(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages.sketches import approx_distinct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
     return approx_distinct(ds, "user_id")
 
 
@@ -64,7 +64,7 @@ def q_dedup_embedding_slim(sf_dir: str):
 
     t = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0).slice(0, 1)
     dim = len(t.column("embedding")[0])
-    emb = ray.data.read_parquet(
+    emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return dedup.dedup_embedding_pairs_slim(emb, dim, threshold=0.35)
@@ -75,7 +75,7 @@ def q_dedup_embedding(sf_dir: str):
 
     t = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0).slice(0, 1)
     dim = len(t.column("embedding")[0])
-    emb = ray.data.read_parquet(
+    emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return dedup.dedup_embedding_pairs(emb, dim, threshold=0.35)

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
 from kafka_connect_jdbc_flatten_ray.config import SinkConfig
 from kafka_connect_jdbc_flatten_ray.sources.cdc_gen import (
     EventGen,
@@ -93,7 +94,7 @@ def event_stream(
         slices = [tbl.slice(i, step) for i in range(0, n_docs, step)]
         docs = ray.data.from_arrow(slices)
     else:
-        docs = ray.data.read_parquet(
+        docs = read_parquet_clean(
             path, columns=DOC_COLUMNS, override_num_blocks=num_blocks
         )
     gen = EventGen(
@@ -376,7 +377,7 @@ def read_lake_table(lake_root: str, table: str) -> ray.data.Dataset:
     files = manifest.current_files()
     deltas = manifest.current_deltas()
     if not deltas:
-        ds = ray.data.read_parquet(sorted(files.values()), filesystem=fs)
+        ds = read_parquet_clean(sorted(files.values()), filesystem=fs)
         drop = [c for c in (PART_COL, OFF_COL, "bucket") if c in ds.schema().names]
         return ds.drop_columns(drop)
     m = manifest.load() or {}

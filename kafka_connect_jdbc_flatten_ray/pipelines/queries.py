@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
 from kafka_connect_jdbc_flatten_ray.pipelines import ingest
 from kafka_connect_jdbc_flatten_ray.sources import queriers
 
@@ -407,7 +408,7 @@ def debezium_root_upsert(sf_dir: str) -> ray.data.Dataset:
     from kafka_connect_jdbc_flatten_ray.stages.plan import build_plan
 
     vt = _debezium_value_type()
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     raw = docs.map_batches(_jsonify_debezium, batch_format="pyarrow")
@@ -444,7 +445,7 @@ SELECT
 def source_code_table(sf_dir: str) -> ray.data.Dataset:
     from kafka_connect_jdbc_flatten_ray.sources.cdc_gen import source_code_batch
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return docs.map_batches(source_code_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -16,13 +16,14 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
+from kafka_connect_jdbc_flatten_ray.util import arrowize, read_parquet_clean
 from kafka_connect_jdbc_flatten_ray.config import SinkConfig
 from kafka_connect_jdbc_flatten_ray.pipelines import ingest
 from kafka_connect_jdbc_flatten_ray.pipelines.passthrough import passthrough_table
 
 
 def _events(sf_dir: str, columns) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +138,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     joined = broadcast_lookup(orders, cust, on="o_custkey", right_on="c_custkey")
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -167,8 +168,8 @@ def lineitem_order_priority(sf_dir: str) -> ray.data.Dataset:
     hash-partitioned, then per-priority lineitem counts."""
     from kafka_connect_jdbc_flatten_ray.stages.joins import hash_join
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    orders = ray.data.read_parquet(
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     joined = hash_join(li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
@@ -201,7 +202,7 @@ def distinct_langs(sf_dir: str):
     project the key (the groupby aggregate path is solid in ray 2.49,
     unlike Dataset.unique's sparse-block merge — commit 2cd70f5). No
     driver-side value collection."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
     partial = ds.map_batches(
         lambda t: pa.table({"lang": pc.unique(t.column("lang").combine_chunks())})
         if isinstance(t.column("lang"), pa.ChunkedArray)
@@ -542,7 +543,7 @@ def user_trailing_incremental(sf_dir: str) -> ray.data.Dataset:
 def stratified_sample_docs(sf_dir: str, per_group: int = 3) -> ray.data.Dataset:
     """Deterministic stratified sample: the ``per_group`` lowest doc_ids of
     each language (class-balanced eval-set carving)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 
@@ -550,7 +551,7 @@ def stratified_sample_docs(sf_dir: str, per_group: int = 3) -> ray.data.Dataset:
         return g.sort_values("doc_id").head(per_group)
 
     _head.__name__ = "stratum_head"
-    return ds.groupby("lang").map_groups(_head, batch_format="pandas")
+    return ds.groupby("lang").map_groups(arrowize(_head), batch_format="pandas")
 
 
 ORACLE_STRATIFIED_SAMPLE = """
@@ -563,7 +564,7 @@ def top_terms_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     """Top-k most frequent whitespace tokens per language (count desc,
     token asc tie-break): per-batch (lang, token) pre-aggregation keeps the
     shuffle on partial counts, then a per-lang top-k map_groups."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]
     )
 
@@ -593,7 +594,7 @@ def top_terms_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         return g[["lang", "rank", "token", "n"]]
 
     _topk.__name__ = "lang_topk"
-    return counts.groupby("lang").map_groups(_topk, batch_format="pandas")
+    return counts.groupby("lang").map_groups(arrowize(_topk), batch_format="pandas")
 
 
 ORACLE_TOP_TERMS = """

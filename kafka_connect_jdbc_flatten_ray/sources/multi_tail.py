@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
+
 
 class TableSpec(NamedTuple):
     name: str
@@ -101,7 +103,7 @@ def tail_tables(
             off = offsets.get(spec.name)
             cols = [spec.inc_col] + (columns or {}).get(spec.name, [])
             flt = pc.field(spec.inc_col) > off if off is not None else None
-            ds = ray.data.read_parquet(spec.path, columns=cols, filter=flt)
+            ds = read_parquet_clean(spec.path, columns=cols, filter=flt)
 
             def _norm(t: pa.Table, name=spec.name, col=spec.inc_col) -> pa.Table:
                 out = {

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
+
 
 def _events_path(sf_dir: str) -> str:
     return f"{sf_dir}/events.parquet"
@@ -50,7 +52,7 @@ BULK_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value"]
 
 def source_bulk(sf_dir: str) -> ray.data.Dataset:
     """S1: whole-table snapshot scan with column pruning."""
-    return ray.data.read_parquet(_events_path(sf_dir), columns=BULK_COLUMNS)
+    return read_parquet_clean(_events_path(sf_dir), columns=BULK_COLUMNS)
 
 
 def source_incrementing(sf_dir: str) -> ray.data.Dataset:
@@ -58,7 +60,7 @@ def source_incrementing(sf_dir: str) -> ray.data.Dataset:
     stored offset is the midpoint id (row-group filter pushdown)."""
     lo, hi = _id_bounds(sf_dir)
     mid = (lo + hi) // 2
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _events_path(sf_dir),
         columns=BULK_COLUMNS,
         filter=pc.field("event_id") > mid,
@@ -73,7 +75,7 @@ def source_timestamp(sf_dir: str) -> ray.data.Dataset:
     tmin, tmax = _ts_bounds(sf_dir)
     begin = tmin + dt.timedelta(hours=1)
     end = tmax - dt.timedelta(minutes=5)
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _events_path(sf_dir),
         columns=BULK_COLUMNS,
         filter=(pc.field("ts") > begin) & (pc.field("ts") <= end),
@@ -87,13 +89,13 @@ def source_timestamp_incrementing(sf_dir: str) -> ray.data.Dataset:
     mid = (lo + hi) // 2
     # T = max ts among rows with id <= mid (a consistent "stored offset")
     t = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             _events_path(sf_dir), columns=["ts", "event_id"],
             filter=pc.field("event_id") <= mid,
         )
         .max("ts")
     )
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _events_path(sf_dir),
         columns=BULK_COLUMNS,
         filter=(pc.field("ts") > t)

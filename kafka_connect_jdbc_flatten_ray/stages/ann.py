@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from kafka_connect_jdbc_flatten_ray.util import default_pool, fsl_to_numpy
+from kafka_connect_jdbc_flatten_ray.util import arrowize, default_pool, fsl_to_numpy, read_parquet_clean
 
 
 def _mat(emb_col) -> np.ndarray:
@@ -102,7 +102,7 @@ def ann_topk(
     """Brute-force cosine top-k (rank, vec_id, rounded cos) per query."""
     q = load_queries(sf_dir, num_queries)
     qref = ray.put(q)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     partial = ds.map_batches(
@@ -112,7 +112,8 @@ def ann_topk(
         zero_copy_batch=True,
         concurrency=default_pool(),
     )
-    return partial.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        arrowize(_global_topk(k)), batch_format="pandas")
 
 
 class IVFAssign:
@@ -169,7 +170,7 @@ def ivf_centroids_trained(
     from kafka_connect_jdbc_flatten_ray.stages.kmeans import kmeans_fit
 
     init = ivf_centroids(sf_dir, num_centroids)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     cents, _ = kmeans_fit(ds, init.shape[1], num_centroids, iters=iters, init=init)
     return cents
 
@@ -197,7 +198,7 @@ def ann_topk_ivf(
             bucket_to_q.setdefault(int(b), []).append(qi)
     qref = ray.put((q_ids, q_mat, bucket_to_q))
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     assigned = ds.map_batches(
@@ -255,4 +256,5 @@ def ann_topk_ivf(
     partial = assigned.map_batches(
         ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
     )
-    return partial.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        arrowize(_global_topk(k)), batch_format="pandas")

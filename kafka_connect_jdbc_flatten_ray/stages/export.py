@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import arrowize, read_parquet_clean
 from kafka_connect_jdbc_flatten_ray.functions.hashing import dataset_digest
 
 
@@ -51,7 +52,7 @@ def export_corpus(
         shutil.rmtree(stage_dir, ignore_errors=True)
         raise
     digest = dataset_digest(
-        ray.data.read_parquet([os.path.join(data_dir, f) for f in files])
+        read_parquet_clean([os.path.join(data_dir, f) for f in files])
     )
     manifest = {
         "files": files,
@@ -128,7 +129,7 @@ def export_corpus_partitioned(
     )
     files = sorted(os.path.basename(r["path"]) for r in stats)
     digest = dataset_digest(
-        ray.data.read_parquet([os.path.join(data_dir, f) for f in files])
+        read_parquet_clean([os.path.join(data_dir, f) for f in files])
     )
     manifest = {
         "files": files,
@@ -149,7 +150,7 @@ def verify_export(out_dir: str) -> bool:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
     files = [os.path.join(out_dir, "data", f) for f in manifest["files"]]
-    ds = ray.data.read_parquet(files)
+    ds = read_parquet_clean(files)
     return dataset_digest(ds) == manifest["digest"]
 
 
@@ -217,4 +218,5 @@ def pack_sequences(
     tok = docs.map_batches(
         _TokenizeStage(group_size), batch_format="pyarrow", zero_copy_batch=True
     )
-    return tok.groupby("group").map_groups(_pack_group(seq_len), batch_format="pandas")
+    return tok.groupby("group").map_groups(
+        arrowize(_pack_group(seq_len)), batch_format="pandas")

@@ -50,6 +50,7 @@ import ray.data
 
 from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+from kafka_connect_jdbc_flatten_ray.util import pandas_to_arrow, read_parquet_clean
 
 STATE_TABLE = "session_state"
 
@@ -349,14 +350,14 @@ def sessionize_epoch(
             late_path = fsx.join(out_dir, f"epoch-{epoch:06d}.late.parquet")
             lstaged = fsx.staging_path(fs, late_path)
             pq.write_table(
-                pa.Table.from_pandas(ev[late], preserve_index=False),
+                pandas_to_arrow(ev[late]),
                 lstaged, filesystem=fs,
             )
             fsx.publish_file(fs, lstaged, late_path)
             ev = ev[~late]
         open_out, closed_out = _fold_bucket(ev, state, key, ts, tiebreak, gap_us)
         writer.write_table(
-            pa.Table.from_pandas(open_out, preserve_index=False)
+            pandas_to_arrow(open_out)
             .select(st_schema.names).cast(st_schema)
         )
         writer.close()
@@ -366,11 +367,11 @@ def sessionize_epoch(
             closed_path = fsx.join(out_dir, f"epoch-{epoch:06d}.closed.parquet")
             cstaged = fsx.staging_path(fs, closed_path)
             pq.write_table(
-                pa.Table.from_pandas(closed_out, preserve_index=False),
+                pandas_to_arrow(closed_out),
                 cstaged, filesystem=fs,
             )
             fsx.publish_file(fs, cstaged, closed_path)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "bucket": [bucket],
                 "state_path": [state_path],
@@ -442,7 +443,7 @@ def read_sessions(state_root: str) -> ray.data.Dataset:
     files = sorted(manifest.current_files().values())
     for ps in manifest.current_deltas().values():
         files.extend(ps)
-    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    ds = read_parquet_clean(sorted(files), filesystem=fs)
     # bucket=N directories read back as a hive partition column — drop it
     drop = [c for c in ("bucket",) if c in ds.schema().names]
     return ds.drop_columns(drop) if drop else ds
@@ -538,7 +539,7 @@ def asof_epoch(
             late_path = fsx.join(out_dir, f"epoch-{epoch:06d}.late.parquet")
             lstaged = fsx.staging_path(fs, late_path)
             pq.write_table(
-                pa.Table.from_pandas(g[late], preserve_index=False),
+                pandas_to_arrow(g[late]),
                 lstaged, filesystem=fs,
             )
             fsx.publish_file(fs, lstaged, late_path)
@@ -551,12 +552,12 @@ def asof_epoch(
                  "asof_value": pd.Series([], dtype="float64")}
             )
             writer.write_table(
-                pa.Table.from_pandas(state, preserve_index=False)
+                pandas_to_arrow(state)
                 .select(st_schema.names).cast(st_schema)
             )
             writer.close()
             fsx.publish_file(fs, staged, state_path)
-            return pd.DataFrame(
+            return pa.table(
                 {"bucket": [bucket], "state_path": [state_path],
                  "joined_path": [""], "late_path": [late_path],
                  "joined_rows": [0], "late_events": [n_late]}
@@ -612,7 +613,7 @@ def asof_epoch(
              ).reindex(all_keys).to_numpy().astype("datetime64[us]")}
         )
         writer.write_table(
-            pa.Table.from_pandas(new_state, preserve_index=False)
+            pandas_to_arrow(new_state)
             .select(st_schema.names).cast(st_schema)
         )
         writer.close()
@@ -621,10 +622,10 @@ def asof_epoch(
         if len(out):
             joined_path = fsx.join(out_dir, f"epoch-{epoch:06d}.joined.parquet")
             jstaged = fsx.staging_path(fs, joined_path)
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+            pq.write_table(pandas_to_arrow(out),
                            jstaged, filesystem=fs)
             fsx.publish_file(fs, jstaged, joined_path)
-        return pd.DataFrame(
+        return pa.table(
             {"bucket": [bucket], "state_path": [state_path],
              "joined_path": [joined_path], "late_path": [late_path],
              "joined_rows": [len(out)], "late_events": [n_late]}
@@ -678,7 +679,7 @@ def read_asof(state_root: str) -> ray.data.Dataset:
     files: list[str] = []
     for ps in manifest.current_deltas().values():
         files.extend(ps)
-    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    ds = read_parquet_clean(sorted(files), filesystem=fs)
     # bucket=N directories read back as a hive partition column — drop it
     drop = [c for c in ("bucket",) if c in ds.schema().names]
     return ds.drop_columns(drop) if drop else ds
@@ -772,7 +773,7 @@ def trailing_epoch(
             late_path = fsx.join(out_dir, f"epoch-{epoch:06d}.late.parquet")
             lstaged = fsx.staging_path(fs, late_path)
             pq.write_table(
-                pa.Table.from_pandas(ev0[late], preserve_index=False),
+                pandas_to_arrow(ev0[late]),
                 lstaged, filesystem=fs,
             )
             fsx.publish_file(fs, lstaged, late_path)
@@ -817,7 +818,7 @@ def trailing_epoch(
             }
         )
         writer.write_table(
-            pa.Table.from_pandas(new_state, preserve_index=False)
+            pandas_to_arrow(new_state)
             .select(st_schema.names).cast(st_schema)
         )
         writer.close()
@@ -826,10 +827,10 @@ def trailing_epoch(
         if len(out):
             counts_path = fsx.join(out_dir, f"epoch-{epoch:06d}.counts.parquet")
             cstaged = fsx.staging_path(fs, counts_path)
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+            pq.write_table(pandas_to_arrow(out),
                            cstaged, filesystem=fs)
             fsx.publish_file(fs, cstaged, counts_path)
-        return pd.DataFrame(
+        return pa.table(
             {"bucket": [bucket], "state_path": [state_path],
              "counts_path": [counts_path], "late_path": [late_path],
              "rows": [len(out)], "late_events": [n_late]}
@@ -879,7 +880,7 @@ def read_trailing(state_root: str) -> ray.data.Dataset:
     files: list[str] = []
     for ps in manifest.current_deltas().values():
         files.extend(ps)
-    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    ds = read_parquet_clean(sorted(files), filesystem=fs)
     drop = [c for c in ("bucket",) if c in ds.schema().names]
     return ds.drop_columns(drop) if drop else ds
 
@@ -901,7 +902,7 @@ def read_quarantine(state_root: str, table: str = STATE_TABLE) -> ray.data.Datas
         files.extend((e.get("late_files") or {}).values())
     if not files:
         return ray.data.from_items([])
-    ds = ray.data.read_parquet(sorted(files), filesystem=fs)
+    ds = read_parquet_clean(sorted(files), filesystem=fs)
     drop = [c for c in ("bucket",) if c in ds.schema().names]
     return ds.drop_columns(drop) if drop else ds
 
@@ -954,7 +955,7 @@ def reshard_state(
 
     try:
         stats = (
-            ray.data.read_parquet(files, filesystem=fs)
+            read_parquet_clean(files, filesystem=fs)
             .map_batches(_rebucket, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("__bucket")

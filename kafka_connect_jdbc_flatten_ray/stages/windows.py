@@ -39,6 +39,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from kafka_connect_jdbc_flatten_ray.util import arrowize
+
 #: loud upper bound for one key's events in the unsalted per-key paths
 MAX_GROUP_ROWS = 10_000_000
 
@@ -101,7 +103,7 @@ def sessionize(
 
     _sessions.__name__ = "sessionize"
     if salt_seconds is None:
-        return events.groupby(key).map_groups(_sessions, batch_format="pandas")
+        return events.groupby(key).map_groups(arrowize(_sessions), batch_format="pandas")
 
     s_us = salt_seconds * 1_000_000
 
@@ -139,8 +141,8 @@ def sessionize(
     _stitch.__name__ = "sessionize_stitch"
     subs = events.map_batches(_salt, batch_format="pyarrow").groupby(
         [key, "__salt"]
-    ).map_groups(_sub_sessions, batch_format="pandas")
-    return subs.groupby(key).map_groups(_stitch, batch_format="pandas")
+    ).map_groups(arrowize(_sub_sessions), batch_format="pandas")
+    return subs.groupby(key).map_groups(arrowize(_stitch), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +185,7 @@ def trailing_window_counts(
 
     _win.__name__ = "trailing_window_counts"
     if salt_seconds is None:
-        return events.groupby(key).map_groups(_win, batch_format="pandas")
+        return events.groupby(key).map_groups(arrowize(_win), batch_format="pandas")
 
     if salt_seconds < window_seconds:
         raise ValueError(
@@ -225,7 +227,7 @@ def trailing_window_counts(
     _win_salted.__name__ = "trailing_window_counts_salted"
     return events.map_batches(_salt, batch_format="pyarrow").groupby(
         [key, "__salt"]
-    ).map_groups(_win_salted, batch_format="pandas")
+    ).map_groups(arrowize(_win_salted), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -276,7 +278,7 @@ def asof_join_last_value(
 
     _asof.__name__ = "asof_join_last_value"
     if salt_seconds is None:
-        return events.groupby(key).map_groups(_asof, batch_format="pandas")
+        return events.groupby(key).map_groups(arrowize(_asof), batch_format="pandas")
 
     s_us = salt_seconds * 1_000_000
 
@@ -360,14 +362,14 @@ def asof_join_last_value(
 
     staged = events.map_batches(_salt, batch_format="pyarrow").groupby(
         [key, "__salt"]
-    ).map_groups(_local_salted, batch_format="pandas").materialize()
+    ).map_groups(arrowize(_local_salted), batch_format="pandas").materialize()
     rows = staged.map_batches(_only_kind(0), batch_format="pyarrow")
     carries = (
         staged.map_batches(_only_kind(1), batch_format="pyarrow")
         .groupby(key)
-        .map_groups(_carry_chain, batch_format="pandas")
+        .map_groups(arrowize(_carry_chain), batch_format="pandas")
         .map_batches(_to_arrow, batch_format="pyarrow")
     )
     return rows.union(carries).groupby([key, "__salt"]).map_groups(
-        _apply_carry, batch_format="pandas"
+        arrowize(_apply_carry), batch_format="pandas"
     )

@@ -31,6 +31,53 @@ def fsl_to_numpy(col, dtype=None):
     return mat.astype(dtype) if dtype is not None else mat
 
 
+def pandas_to_arrow(df, schema=None):
+    """``pa.Table.from_pandas`` minus the ``b'pandas'`` schema metadata.
+
+    That metadata blob makes ``hash(schema)`` raise (its reconstruction
+    dict is unhashable), which defeats Ray's block-schema deduplication
+    and spams ``Failed to hash the schemas`` from every stage that reads
+    a file written this way. All engine writes/returns of pandas frames
+    go through here so lake files and map_groups outputs carry clean,
+    hashable Arrow schemas."""
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(df, preserve_index=False, schema=schema)
+    return t.replace_schema_metadata(None)
+
+
+def _strip_schema_metadata(t):
+    return t.replace_schema_metadata(None)
+
+
+def read_parquet_clean(*args, **kwargs):
+    """``ray.data.read_parquet`` plus a fused, metadata-only strip stage.
+
+    Parquet files written through pandas carry a ``b'pandas'`` schema
+    metadata blob that makes ``hash(schema)`` raise, defeating Ray's
+    block-schema deduplication (`Failed to hash the schemas` warned from
+    every downstream shuffle reduce). The strip is
+    ``replace_schema_metadata(None)`` — zero-copy, fused into the read."""
+    import ray.data
+
+    return ray.data.read_parquet(*args, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def arrowize(fn):
+    """Wrap a pandas-returning ``map_groups`` function so its output block
+    is a clean Arrow table (see :func:`pandas_to_arrow`): the group logic
+    stays vectorized pandas, but downstream stages and shuffle reduces see
+    hashable, metadata-free schemas and zero-copy Arrow blocks."""
+
+    def wrapped(g):
+        return pandas_to_arrow(fn(g))
+
+    wrapped.__name__ = getattr(fn, "__name__", "arrowized")
+    return wrapped
+
+
 def default_pool(min_actors: int = 1) -> tuple[int, int]:
     """Actor-pool sizing matched to the cluster: cap at half the cluster's
     CPUs (leaving headroom for upstream reads and downstream writes) with a

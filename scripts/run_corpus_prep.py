@@ -28,13 +28,15 @@ def build_pipeline(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
+
+    from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
     from ray.data.aggregate import Max
 
     from kafka_connect_jdbc_flatten_ray.stages.dedup import _fingerprints, _text_col
     from kafka_connect_jdbc_flatten_ray.stages.inference import score_quality
     from kafka_connect_jdbc_flatten_ray.stages.scrub import ChunkDocs, ScrubText
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     # quality gate: the scoring stage emits (doc_id, score, keep); re-join
