@@ -420,9 +420,7 @@ class MergeToLake:
                     ), True
 
         # ---- pass 1: per-key max clear rank + offsets + unified schema ----
-        import pandas as pd
-
-        clear_frames: list[pd.DataFrame] = []
+        clear_parts: list[pa.Table] = []
         offsets: dict[int, int] = {}
         schemas: list[pa.Schema] = []
         n_in = 0
@@ -443,15 +441,17 @@ class MergeToLake:
                 if nclear and key_cols:
                     clears += nclear
                     rank = _rank(chunk)
-                    sel = chunk.select(list(key_cols)).to_pandas()
-                    sel["__mc"] = rank
-                    clear_frames.append(sel[is_clear])
-        if clear_frames:
-            clear_tbl = (
-                pd.concat(clear_frames, ignore_index=True)
-                .groupby(list(key_cols), dropna=False, as_index=False)["__mc"]
-                .max()
-            )
+                    sel = chunk.select(list(key_cols)).filter(pa.array(is_clear))
+                    clear_parts.append(
+                        sel.append_column("__mc", pa.array(rank[is_clear]))
+                    )
+        if clear_parts:
+            # per-key max clear rank, Arrow-native (key columns only —
+            # bounded by the clear count, never the bucket size)
+            clear_tbl = pa.TableGroupBy(
+                pa.concat_tables(clear_parts, promote_options="permissive"),
+                list(key_cols),
+            ).aggregate([("__mc", "max")])
         else:
             clear_tbl = None
         unified = pa.unify_schemas(schemas, promote_options="permissive") \
@@ -472,10 +472,26 @@ class MergeToLake:
                 keep = op == OP_INSERT
                 if clear_tbl is not None and keep.any():
                     rank = _rank(chunk)
-                    probe = chunk.select(list(key_cols)).to_pandas()
-                    probe["__rank"] = rank
-                    m = probe.merge(clear_tbl, on=list(key_cols), how="left")
-                    mc = m["__mc"].fillna(np.int64(-1)).to_numpy(np.int64)
+                    # probe via one joint factorize (the last_wins pattern):
+                    # codes over clear keys ++ chunk keys, scatter the max
+                    # clear ranks, gather per chunk row — order-preserving,
+                    # no pandas round-trip
+                    nclr = clear_tbl.num_rows
+                    joint = pa.concat_tables(
+                        [clear_tbl.select(list(key_cols)),
+                         chunk.select(list(key_cols))],
+                        promote_options="permissive",
+                    )
+                    if len(key_cols) == 1:
+                        codes, _ = _factorize_array(joint.column(key_cols[0]))
+                    else:
+                        codes = _factorize_multi(joint, key_cols)
+                    ngroups = int(codes.max()) + 1 if len(codes) else 0
+                    maxclear = np.full(ngroups, np.int64(-1))
+                    mcvals = clear_tbl.column("__mc_max").to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    np.maximum.at(maxclear, codes[:nclr], mcvals)
+                    mc = maxclear[codes[nclr:]]
                     if is_prior:
                         keep &= rank > mc  # strict domination for lake rows
                     else:
