@@ -112,3 +112,102 @@ class TestRealCodecSeam:
                 np.asarray(r["pixel_hist"]),
                 np.bincount(arr.reshape(-1) >> 4, minlength=16),
             )
+
+
+def _wav_payload(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """Canonical RIFF/WAVE container around s16le mono PCM."""
+    import numpy as np
+
+    pcm = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")   # byte rate
+        + (2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")         # bits
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+class TestAudioContainers:
+    """The RIFF/WAVE path is fully real (pure header arithmetic, no codec
+    library); compressed containers hit the soundfile seam."""
+
+    def _features(self, payloads):
+        import pyarrow as pa
+
+        from kafka_connect_jdbc_flatten_ray.stages.multimodal import AudioFeatures
+
+        batch = pa.table({
+            "media_id": pa.array(list(range(len(payloads))), pa.int64()),
+            "media": pa.array(payloads, pa.large_binary()),
+        })
+        return AudioFeatures()(batch).to_pylist()
+
+    def test_wav_equals_raw_pcm(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        samples = rng.randint(-30000, 30000, 257).astype(np.int16)
+        raw = self._features([samples.astype("<i2").tobytes()])[0]
+        wav = self._features([_wav_payload(samples)])[0]
+        for k in ("n_samples", "rms", "zero_crossings", "peak"):
+            assert wav[k] == raw[k], k
+
+    def test_mixed_batch_wav_and_raw(self):
+        import numpy as np
+
+        rng = np.random.RandomState(8)
+        a = rng.randint(-1000, 1000, 64).astype(np.int16)
+        b = rng.randint(-20000, 20000, 100).astype(np.int16)
+        out = self._features([_wav_payload(a), b.astype("<i2").tobytes()])
+        assert out[0]["n_samples"] == 64
+        assert out[1]["n_samples"] == 100
+        only_a = self._features([a.astype("<i2").tobytes()])[0]
+        assert out[0]["rms"] == only_a["rms"]
+
+    def test_extra_wav_chunks_skipped(self):
+        # a LIST chunk before fmt/data must be walked over, not break parse
+        import numpy as np
+
+        samples = np.arange(-16, 16, dtype=np.int16)
+        pcm = samples.astype("<i2").tobytes()
+        fmt = (1).to_bytes(2, "little") + (1).to_bytes(2, "little") \
+            + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little") \
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        body = b"WAVE" + b"LIST" + (4).to_bytes(4, "little") + b"INFO" \
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+            + b"data" + len(pcm).to_bytes(4, "little") + pcm
+        out = self._features([b"RIFF" + len(body).to_bytes(4, "little") + body])
+        assert out[0]["n_samples"] == 32
+
+    def test_flac_without_soundfile_names_the_seam(self):
+        import pytest
+
+        from kafka_connect_jdbc_flatten_ray.stages import multimodal
+
+        stage = multimodal.AudioFeatures()
+        if stage._sf is not None:
+            pytest.skip("soundfile installed; seam not reachable")
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            self._features([b"fLaC" + b"\x00" * 64])
+
+    def test_video_seam_names_pyav(self):
+        import pytest
+        import pyarrow as pa
+
+        from kafka_connect_jdbc_flatten_ray.stages.multimodal import FrameSample
+
+        stage = FrameSample()
+        if stage._av is not None:
+            pytest.skip("PyAV installed; seam not reachable")
+        batch = pa.table({
+            "media_id": pa.array([0], pa.int64()),
+            "media": pa.array([b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32],
+                              pa.large_binary()),
+        })
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            stage(batch)
