@@ -86,6 +86,17 @@ def headline() -> dict:
     ).to_numpy()
     n_events = int(((did % 3) + 1 + (did % 7 == 0)).sum()) * REPLICATE
 
+    # untimed warm-up epoch at tiny replication: spins the flatten-plan
+    # caches, zstd contexts and shuffle workers so the measurement below is
+    # warm steady state, not first-touch overhead (first run measures
+    # 1.3-1.8x slower than the second on identical inputs)
+    warm = tempfile.mkdtemp(prefix="kcjf_bench_warm_")
+    try:
+        ingest.run_epoch(SF_DIR, warm, replicate=10,
+                         concurrency=(2, max(4, NUM_CPUS // 2)))
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+
     lake = tempfile.mkdtemp(prefix="kcjf_bench_lake_")
     try:
         t0 = time.perf_counter()

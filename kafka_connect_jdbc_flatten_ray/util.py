@@ -60,8 +60,14 @@ def read_parquet_clean(*args, **kwargs):
     ``replace_schema_metadata(None)`` — zero-copy, fused into the read."""
     import ray.data
 
+    strip_args = {}
+    if "strip_max_retries" in kwargs:
+        # match downstream stages' remote args so Ray still fuses the
+        # whole read->strip->transform chain into one task
+        strip_args["max_retries"] = kwargs.pop("strip_max_retries")
     return ray.data.read_parquet(*args, **kwargs).map_batches(
-        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True,
+        **strip_args,
     )
 
 
