@@ -41,6 +41,9 @@ _ORDER_R4 = [
     "dedup_minhash_pairs_slim",
     "dedup_embedding_pairs_slim",
     "ann_topk_ivf_kmeans",
+    # new this round (Gopher repetition metrics; incremental exact dedup)
+    "repetition_stats",
+    "dedup_exact_incremental",
 ]
 
 

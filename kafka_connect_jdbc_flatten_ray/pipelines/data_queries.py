@@ -107,6 +107,46 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        textops.RepetitionStats, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_pool(),
+    )
+
+
+def q_dedup_exact_incremental(sf_dir: str):
+    """Streaming counterpart to dedup_exact: fold the corpus in three
+    epochs through lake-resident fingerprint state, then read the keeper
+    set — shares the batch operator's SQL oracle verbatim (min is
+    commutative, so any epoch split gives the same answer)."""
+    import tempfile
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_dedup as sd
+
+    root = tempfile.mkdtemp(prefix="kcjf_dedup_state_")
+    docs = _docs(sf_dir)
+
+    def _part(part: int):
+        def _f(t):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        sd.dedup_exact_epoch(
+            docs.map_batches(
+                _part(part), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            root,
+        )
+    return sd.read_keepers(root)
+
+
 # Horner fold over the document's (ASCII) bytes — exactly the mod-2^64
 # polynomial hash Fingerprint computes (HUGEINT holds acc*BASE+b < 2^84).
 # ord(c) == utf8 byte only for ASCII text, which the synthetic corpus is;
@@ -500,8 +540,10 @@ def data_queries() -> dict:
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
+        "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "corpus_prep": q_corpus_prep,
@@ -528,9 +570,41 @@ FROM documents
 """
 
 
+ORACLE_REPETITION = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, tok, nxt, count(*) AS c
+  FROM big WHERE nxt IS NOT NULL GROUP BY doc_id, tok, nxt
+),
+top AS (SELECT doc_id, max(c) AS top_c FROM bg GROUP BY doc_id),
+d AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(DISTINCT tok) AS n_distinct_tokens
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens, d.n_distinct_tokens,
+       d.n_tokens - 1 AS n_bigrams,
+       COALESCE(top.top_c, 0) AS top_bigram_count
+FROM d LEFT JOIN top USING (doc_id)
+"""
+
+
 def data_oracles() -> dict:
     return {
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        # min is commutative: the epoch-folded keeper set equals the batch
+        # dedup on the union, so the incremental path shares this oracle
+        "dedup_exact_incremental": ORACLE_DEDUP_EXACT,
+        "repetition_stats": ORACLE_REPETITION,
         "token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,

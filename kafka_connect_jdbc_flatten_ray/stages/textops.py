@@ -126,6 +126,59 @@ class LangId:
         )
 
 
+class RepetitionStats:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1), integer
+    form so a DuckDB oracle reproduces them hash-exactly:
+
+    - ``n_tokens``          whitespace tokens
+    - ``n_distinct_tokens`` distinct tokens (dup-token fraction =
+                            1 - distinct/total)
+    - ``n_bigrams``         adjacent token pairs (= n_tokens - 1)
+    - ``top_bigram_count``  occurrences of the doc's most frequent bigram
+                            (top-2-gram fraction = top/total)
+
+    Fully vectorized: one dictionary-encode over the batch's flattened
+    tokens, then np.unique/np.maximum.at over integer keys — no per-doc
+    Python loop."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        flat, parent, lens = _tokens(text)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        # distinct tokens per doc: unique (parent, code) pairs
+        n_distinct = np.zeros(n, np.int64)
+        if len(codes):
+            uniq = np.unique(parent * vocab + codes)
+            np.add.at(n_distinct, uniq // vocab, 1)
+        # bigrams: adjacent positions with the same parent doc
+        same = parent[:-1] == parent[1:] if len(codes) else np.zeros(0, bool)
+        a, b, p = codes[:-1][same], codes[1:][same], parent[:-1][same]
+        top = np.zeros(n, np.int64)
+        if len(p):
+            # two-step factorize keeps keys < 2^63: bigram id, then per-doc
+            _, big_id = np.unique(a * vocab + b, return_inverse=True)
+            nbig = int(big_id.max()) + 1
+            combo, counts = np.unique(p * nbig + big_id, return_counts=True)
+            np.maximum.at(top, combo // nbig, counts)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+                "n_bigrams": pa.array(np.maximum(lens - 1, 0), pa.int64()),
+                "top_bigram_count": pa.array(top, pa.int64()),
+            }
+        )
+
+
 def _segmented_pow64(base: np.uint64, exps: np.ndarray) -> np.ndarray:
     """base**exps mod 2^64 (natural wrap), vectorized exp-by-squaring."""
     result = np.ones(len(exps), np.uint64)

@@ -1,0 +1,123 @@
+"""Incremental exact dedup: epoch-at-a-time folds into lake-resident
+fingerprint state must reproduce batch dedup_exact over the union of all
+folded epochs — with NO ordering assumption (min is commutative)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages import streaming_dedup as sd
+from kafka_connect_jdbc_flatten_ray.stages.dedup import dedup_exact
+
+
+def docs(ids, texts):
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+def keepers(ds):
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+class TestIncrementalExactDedup:
+    def test_three_epochs_equal_batch(self, ray_session, tmp_path):
+        """Cross-epoch duplicates collapse to the global min doc_id."""
+        root = str(tmp_path / "dd")
+        epochs = [
+            docs([1, 2, 3], ["aa", "bb", "cc"]),
+            docs([4, 5], ["bb", "dd"]),          # 4 dups epoch-1's 'bb'
+            docs([6, 7, 8], ["aa", "dd", "aa"]), # 6,8 dup 'aa'; 7 dups 'dd'
+        ]
+        for e in epochs:
+            r = sd.dedup_exact_epoch(ray.data.from_arrow(e), root, num_buckets=4)
+            assert r["buckets"] > 0
+        want = keepers(dedup_exact(ray.data.from_arrow(pa.concat_tables(epochs))))
+        assert keepers(sd.read_keepers(root)) == want == [1, 2, 3, 5]
+
+    def test_epoch_order_does_not_matter(self, ray_session, tmp_path):
+        """A LATER epoch carrying a SMALLER doc_id still wins the keeper
+        slot — no watermark assumption, unlike the window operators."""
+        root = str(tmp_path / "dd")
+        sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([10, 11], ["xx", "yy"])), root, num_buckets=4
+        )
+        sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([2], ["xx"])), root
+        )
+        assert keepers(sd.read_keepers(root)) == [2, 11]
+
+    def test_idle_bucket_carries_state(self, ray_session, tmp_path):
+        """An epoch touching a strict subset of buckets must not lose the
+        untouched buckets' fingerprints (manifest keeps their files)."""
+        root = str(tmp_path / "dd")
+        many = docs(list(range(100)), [f"t{i}" for i in range(100)])
+        sd.dedup_exact_epoch(ray.data.from_arrow(many), root, num_buckets=8)
+        sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([500], ["t7"])), root
+        )
+        got = keepers(sd.read_keepers(root))
+        assert got == list(range(100))  # 500 is a dup of t7, no keeper lost
+
+    def test_stats_and_manifest_lineage(self, ray_session, tmp_path):
+        root = str(tmp_path / "dd")
+        r1 = sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([1, 2, 3], ["a", "a", "b"])), root
+        )
+        assert r1["epoch_docs"] == 3
+        assert r1["new_fingerprints"] == 2
+        assert r1["dup_docs"] == 1
+        r2 = sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([4, 5], ["b", "c"])), root
+        )
+        assert r2["epoch"] == r1["epoch"] + 1
+        assert r2["new_fingerprints"] == 1  # only 'c'
+        assert r2["dup_docs"] == 1          # 4 dups 'b'
+        assert keepers(sd.read_keepers(root)) == [1, 3, 5]
+
+    def test_stored_num_buckets_wins(self, ray_session, tmp_path):
+        """Once created, the state's recorded bucket layout overrides the
+        caller's argument — a different count would probe wrong files."""
+        root = str(tmp_path / "dd")
+        sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([1, 2], ["a", "b"])), root, num_buckets=4
+        )
+        sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([9], ["a"])), root, num_buckets=32
+        )
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        m = TableManifest(root, sd.STATE_TABLE).load()
+        assert m["partitioning"]["num_buckets"] == 4
+        assert keepers(sd.read_keepers(root)) == [1, 2]
+
+    def test_fold_guard_trips_and_claim_released(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        from kafka_connect_jdbc_flatten_ray.stages import streaming_windows as sw
+
+        monkeypatch.setattr(sw, "MAX_FOLD_ROWS", 10)
+        root = str(tmp_path / "dd")
+        big = docs(list(range(64)), ["u%d" % i for i in range(64)])
+        with pytest.raises(Exception, match="reshard_state|epoch rows"):
+            sd.dedup_exact_epoch(ray.data.from_arrow(big), root, num_buckets=1)
+        # the abandoned claim must not block a rerun at sane limits
+        monkeypatch.setattr(sw, "MAX_FOLD_ROWS", 10_000_000)
+        r = sd.dedup_exact_epoch(ray.data.from_arrow(big), root, num_buckets=1)
+        assert r["epoch"] == 0 and r["new_fingerprints"] == 64
+
+    def test_matches_batch_on_random_stream(self, ray_session, tmp_path):
+        rng = np.random.RandomState(7)
+        ids = rng.permutation(400)
+        texts = ["doc-%d" % rng.randint(0, 120) for _ in range(400)]
+        t = docs(list(ids), texts)
+        root = str(tmp_path / "dd")
+        cut = [0, 150, 260, 400]
+        for i in range(3):
+            sd.dedup_exact_epoch(
+                ray.data.from_arrow(t.slice(cut[i], cut[i + 1] - cut[i])),
+                root, num_buckets=8,
+            )
+        want = keepers(dedup_exact(ray.data.from_arrow(t)))
+        assert keepers(sd.read_keepers(root)) == want

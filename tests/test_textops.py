@@ -6,6 +6,7 @@ from kafka_connect_jdbc_flatten_ray.stages.textops import (
     Fingerprint,
     LangId,
     QualityScore,
+    RepetitionStats,
     TokenCount,
 )
 
@@ -60,3 +61,36 @@ class TestFingerprint:
         assert [r["fingerprint"] for r in out] == [ref(t) for t in texts]
         assert out[0]["fingerprint"] == out[3]["fingerprint"]
         assert out[0]["fingerprint"] != out[1]["fingerprint"]
+
+
+class TestRepetitionStats:
+    def test_metrics_vs_per_row_reference(self):
+        from collections import Counter
+
+        texts = [
+            "a b a b a b",        # top bigram (a,b) x3
+            "x",                  # single token: no bigrams
+            "a a a a",            # (a,a) x3, 1 distinct token
+            "one two three four", # all unique
+            "",                   # split('') -> [''] one empty token
+            "a  b",               # '' token in the middle
+        ]
+        out = RepetitionStats()(batch(texts)).to_pylist()
+        for row, text in zip(out, texts):
+            toks = text.split(" ")
+            bigr = Counter(zip(toks, toks[1:]))
+            assert row["n_tokens"] == len(toks)
+            assert row["n_distinct_tokens"] == len(set(toks))
+            assert row["n_bigrams"] == max(len(toks) - 1, 0)
+            assert row["top_bigram_count"] == (max(bigr.values()) if bigr else 0)
+
+    def test_empty_batch(self):
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        out = RepetitionStats()(empty)
+        assert out.num_rows == 0
+        assert out.schema.names == [
+            "doc_id", "n_tokens", "n_distinct_tokens",
+            "n_bigrams", "top_bigram_count",
+        ]
