@@ -164,6 +164,75 @@ def dedup_exact_epoch(
     return {"epoch": epoch, "buckets": len(bucket_files), **totals}
 
 
+def reshard_state(state_root: str, new_num_buckets: int) -> dict:
+    """Re-bucket the fingerprint state to a new bucket count — the scale
+    path when the corpus outgrows the layout it was created with (the
+    fold guard trips). Distinct from streaming_windows.reshard_state
+    because dedup buckets by the RAW fingerprint (``h1 % N`` — the
+    fingerprint is already uniform), not by stable_row_hash of a key
+    column; mixing the two would probe the wrong files on the next fold.
+    Publishes one state file per new bucket as a manifest epoch that
+    replaces the bucket map."""
+    import pyarrow.parquet as pq
+
+    manifest = TableManifest(state_root, STATE_TABLE)
+    m = manifest.load()
+    if not m:
+        raise ValueError(f"no {STATE_TABLE} manifest at {state_root}")
+    epoch = int(m["epoch"]) + 1
+    nonce = manifest.claim_epoch(epoch)
+    fs, root = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+
+    def _rebucket(t: pa.Table) -> pa.Table:
+        if "bucket" in t.schema.names:  # hive partition col from the read
+            t = t.drop_columns(["bucket"])
+        h1 = t.column("h1").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "__bucket",
+            pa.array((h1 % np.uint64(new_num_buckets)).astype(np.int32)),
+        )
+
+    def _write(t: pa.Table) -> pa.Table:
+        bucket = int(t.column("__bucket")[0].as_py())
+        out_dir = fsx.join(root, STATE_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, path)
+        body = t.drop_columns(["__bucket"]).select(_ST_SCHEMA.names)
+        pq.write_table(body.cast(_ST_SCHEMA), staged, filesystem=fs)
+        fsx.publish_file(fs, staged, path)
+        return pa.table({"bucket": pa.array([bucket], pa.int64()),
+                         "path": pa.array([path]),
+                         "rows": pa.array([body.num_rows], pa.int64())})
+
+    try:
+        stats = (
+            read_parquet_clean(files, filesystem=fs)
+            .map_batches(_rebucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_write, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    part = dict(m.get("partitioning") or {})
+    part["num_buckets"] = new_num_buckets
+    manifest.publish(
+        epoch,
+        {int(r["bucket"]): r["path"] for r in stats},
+        {"resharded_to": new_num_buckets,
+         "rows": int(sum(r["rows"] for r in stats))},
+        partitioning=part,
+        replace_buckets=True,
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "num_buckets": new_num_buckets,
+            "buckets_written": len(stats)}
+
+
 def read_keepers(state_root: str) -> ray.data.Dataset:
     """Surviving doc_ids (min per distinct content) over every epoch
     folded so far — row-for-row equal to batch ``dedup_exact`` on the

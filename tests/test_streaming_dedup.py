@@ -121,3 +121,25 @@ class TestIncrementalExactDedup:
             )
         want = keepers(dedup_exact(ray.data.from_arrow(t)))
         assert keepers(sd.read_keepers(root)) == want
+
+    def test_reshard_then_fold(self, ray_session, tmp_path):
+        """Guard-trip remedy: reshard to more buckets, keep every keeper,
+        and subsequent folds probe the NEW layout correctly."""
+        root = str(tmp_path / "dd")
+        sd.dedup_exact_epoch(
+            ray.data.from_arrow(
+                docs(list(range(60)), [f"r{i % 40}" for i in range(60)])
+            ),
+            root, num_buckets=2,
+        )
+        before = keepers(sd.read_keepers(root))
+        r = sd.reshard_state(root, 16)
+        assert r["num_buckets"] == 16
+        assert keepers(sd.read_keepers(root)) == before
+        # post-reshard fold must dedup against relocated fingerprints
+        sd.dedup_exact_epoch(
+            ray.data.from_arrow(docs([900, 901], ["r0", "brand-new"])), root
+        )
+        got = keepers(sd.read_keepers(root))
+        assert 900 not in got and 901 in got
+        assert [k for k in got if k < 900] == before
