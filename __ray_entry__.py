@@ -41,9 +41,10 @@ _ORDER_R4 = [
     "dedup_minhash_pairs_slim",
     "dedup_embedding_pairs_slim",
     "ann_topk_ivf_kmeans",
-    # new this round (Gopher repetition metrics; incremental exact dedup)
+    # new this round (Gopher repetition metrics; incremental dedup)
     "repetition_stats",
     "dedup_exact_incremental",
+    "dedup_minhash_incremental",
 ]
 
 

@@ -147,6 +147,39 @@ def q_dedup_exact_incremental(sf_dir: str):
     return sd.read_keepers(root)
 
 
+def q_dedup_minhash_incremental(sf_dir: str):
+    """Streaming counterpart to dedup_minhash_pairs: fold the corpus in
+    three epochs through lake-resident LSH band-bucket state, then read
+    the pair set — shares the batch LSH SQL oracle verbatim (touched
+    groups are recomputed in full, so arrival order never matters)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_dedup as sd
+
+    root = tempfile.mkdtemp(prefix="kcjf_lsh_state_")
+    docs = _docs(sf_dir)
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"lsh_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        sd.minhash_pairs_epoch(
+            docs.map_batches(
+                _part(part), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            root, threshold=0.5,
+        )
+    return sd.read_pairs(root)
+
+
 # Horner fold over the document's (ASCII) bytes — exactly the mod-2^64
 # polynomial hash Fingerprint computes (HUGEINT holds acc*BASE+b < 2^84).
 # ord(c) == utf8 byte only for ASCII text, which the synthetic corpus is;
@@ -541,6 +574,7 @@ def data_queries() -> dict:
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
         "dedup_exact_incremental": q_dedup_exact_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
@@ -624,6 +658,9 @@ def data_oracles() -> dict:
         # pipeline is mirrored stage-by-stage in SQL (dedup_oracles.py)
         "dedup_minhash_pairs": dedup_oracles.minhash_pairs_sql(0.5, "word"),
         "dedup_minhash_pairs_slim": dedup_oracles.minhash_pairs_sql(0.5, "word"),
+        # the incremental fold recomputes touched star groups in full, so
+        # after all epochs the pair set equals the batch LSH pair set
+        "dedup_minhash_incremental": dedup_oracles.minhash_pairs_sql(0.5, "word"),
         "dedup_ngram_jaccard_pairs": dedup_oracles.minhash_pairs_sql(0.5, "char"),
         "dedup_simhash_pairs": dedup_oracles.simhash_pairs_sql(3),
         "dedup_minhash_keep": dedup_oracles.minhash_keep_sql(0.95),

@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from kafka_connect_jdbc_flatten_ray.state import fs as fsx
@@ -97,6 +98,7 @@ def dedup_exact_epoch(
         state, writer, carried = _split_prior_state(
             fs, prior.get(bucket), "h1", touched, _ST_SCHEMA, staged
         )
+        state = state.to_pandas() if state is not None else None
         ev = pd.DataFrame(
             {
                 "h1": g.column("h1").to_numpy(zero_copy_only=False),
@@ -243,3 +245,275 @@ def read_keepers(state_root: str) -> ray.data.Dataset:
     ds = read_parquet_clean(sorted(files), filesystem=fs, columns=["doc_id"])
     drop = [c for c in ("bucket",) if c in ds.schema().names]
     return ds.drop_columns(drop) if drop else ds
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH near-dedup (lake-resident band-bucket state)
+# ---------------------------------------------------------------------------
+
+LSH_TABLE = "lsh_state"
+
+#: one union-schema file per bucket keeps members and pairs under a SINGLE
+#: manifest commit (two tables would need a cross-manifest transaction):
+#: kind 0 = band member (band_id, band_hash, doc_id, sig),
+#: kind 1 = star pair   (band_id, band_hash, doc_a, doc_b, est_jaccard)
+#: sig is fixed_size_binary (NUM_PERM int64s) because Parquet cannot
+#: round-trip a fixed_size_list column holding nulls (the pair rows)
+def _lsh_schema(num_perm: int) -> pa.Schema:
+    return pa.schema([
+        ("kind", pa.int8()),
+        ("band_id", pa.int32()),
+        ("band_hash", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("sig", pa.binary(num_perm * 8)),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("est_jaccard", pa.float64()),
+    ])
+
+
+def _sig_to_bin(col, num_perm: int) -> pa.FixedSizeBinaryArray:
+    """fixed_size_list<int64>[P] -> fixed_size_binary(P*8), zero-copy-ish."""
+    from kafka_connect_jdbc_flatten_ray.util import fsl_to_numpy
+
+    mat = fsl_to_numpy(col, "<i8")
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(num_perm * 8), mat.shape[0], [None, pa.py_buffer(mat.tobytes())]
+    )
+
+
+def _bin_to_sig(col, num_perm: int) -> pa.FixedSizeListArray:
+    """fixed_size_binary(P*8) -> fixed_size_list<int64>[P] (no nulls)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    assert col.null_count == 0, "member sig must be non-null"
+    raw = np.frombuffer(
+        col.buffers()[1], "<i8", count=len(col) * num_perm,
+        offset=col.offset * num_perm * 8,
+    )
+    return pa.FixedSizeListArray.from_arrays(pa.array(raw), num_perm)
+
+
+def minhash_pairs_epoch(
+    docs: ray.data.Dataset,
+    state_root: str,
+    threshold: float = 0.5,
+    shingles: str = "word",
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch of documents into lake-resident LSH state; after any
+    number of folds, :func:`read_pairs` equals batch
+    ``dedup_minhash_pairs`` on the union of all folded epochs, row for row
+    (same star-pattern candidate rule, same threshold, same cross-band
+    max-dedup — it shares the batch SQL oracle verbatim).
+
+    How: the epoch's banding rows bucket by ``band_hash % N``; each fold
+    task streams its bucket's prior state — rows of band-hash groups
+    TOUCHED this epoch come into memory, everything else (members and
+    pairs of untouched groups alike) passes straight through to the new
+    state file. Touched groups are recomputed IN FULL from their member
+    sets, so an arriving doc_id smaller than a group's stored anchor
+    re-anchors that group's star exactly as batch would — no watermark
+    or arrival-order assumption. Per-epoch work is proportional to the
+    epoch's bucket membership, never the corpus.
+
+    Storage note: this is the DENSE layout (signatures live in the member
+    rows, ~NUM_PERM*8 bytes per band row). The id-only exchange trick of
+    ``dedup_minhash_pairs_slim`` applies to the epoch shuffle the same
+    way but not to the state file, which must keep signatures to score
+    re-anchored stars without re-reading documents."""
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+        MinHashStage, NUM_PERM, _sharded_bucket_pairs,
+    )
+    from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+        MAX_FOLD_ROWS,
+    )
+
+    manifest = TableManifest(state_root, LSH_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
+    part = (m or {}).get("partitioning") or {}
+    stored_thr = part.get("threshold")
+    if stored_thr is not None and float(stored_thr) != float(threshold):
+        raise ValueError(
+            f"state at {state_root} was built with threshold={stored_thr}; "
+            f"sub-threshold pairs were not kept, so folding at "
+            f"{threshold} would be wrong — use a fresh state root"
+        )
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
+    schema = _lsh_schema(NUM_PERM)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "__bucket", pa.array((bh % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        bucket = int(g.column("__bucket")[0].as_py())
+        g = g.drop_columns(["__bucket"])
+        _guard_fold(g.num_rows, "minhash_pairs_epoch", num_buckets, fold_limit)
+        out_dir = fsx.join(root, LSH_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        touched = np.unique(g.column("band_hash").to_numpy(zero_copy_only=False))
+        state, writer, carried = _split_prior_state(
+            fs, prior.get(bucket), "band_hash", touched, schema, staged
+        )
+        # members of the touched groups: stored kind-0 rows + epoch rows,
+        # deduped on (band_id, band_hash, doc_id) — idempotent re-delivery
+        new_members = pa.table({
+            "band_id": g.column("band_id").cast(pa.int32()),
+            "band_hash": g.column("band_hash"),
+            "doc_id": g.column("doc_id"),
+            "sig": _sig_to_bin(g.column("sig"), NUM_PERM),
+        })
+        if state is not None:
+            stored_members = state.filter(
+                pc.equal(state.column("kind"), 0)
+            ).select(["band_id", "band_hash", "doc_id", "sig"])
+            members = pa.concat_tables(
+                [stored_members, new_members]
+            ).combine_chunks()
+        else:
+            members = new_members
+        bid = members.column("band_id").to_numpy(zero_copy_only=False)
+        bh = members.column("band_hash").to_numpy(zero_copy_only=False)
+        did = members.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bh, bid))
+        keep = np.ones(len(order), bool)
+        keep[1:] = ~(
+            (bid[order][1:] == bid[order][:-1])
+            & (bh[order][1:] == bh[order][:-1])
+            & (did[order][1:] == did[order][:-1])
+        )
+        members = members.take(pa.array(order[keep]))
+        # recompute every touched group's star in full (per band — the
+        # batch kernel assumes one band per call)
+        pair_parts = []
+        bid = members.column("band_id").to_numpy(zero_copy_only=False)
+        for b in np.unique(bid):
+            sub = members.filter(pc.equal(members.column("band_id"), int(b)))
+            sub = pa.table({
+                "band_hash": sub.column("band_hash"),
+                "doc_id": sub.column("doc_id"),
+                "sig": _bin_to_sig(sub.column("sig"), NUM_PERM),
+            })
+            p = _sharded_bucket_pairs(sub)
+            if not p.num_rows:
+                continue
+            # the kernel emits pairs in (band_hash, doc_id)-sorted member
+            # order, so the group key re-attaches by position (no lookup)
+            sub_bh = sub.column("band_hash").to_numpy(zero_copy_only=False)
+            sub_did = sub.column("doc_id").to_numpy(zero_copy_only=False)
+            bh_s = sub_bh[np.lexsort((sub_did, sub_bh))]
+            member_bh = bh_s[np.concatenate(([False], bh_s[1:] == bh_s[:-1]))]
+            assert len(member_bh) == p.num_rows, "kernel emission order drift"
+            keep_thr = pc.greater_equal(
+                p.column("est_jaccard"), threshold
+            ).to_numpy(zero_copy_only=False)
+            if not keep_thr.any():
+                continue
+            p = p.filter(pa.array(keep_thr))
+            pair_parts.append(pa.table({
+                "band_id": pa.array(np.full(p.num_rows, b, np.int32)),
+                "band_hash": pa.array(member_bh[keep_thr]),
+                "doc_a": p.column("doc_a"),
+                "doc_b": p.column("doc_b"),
+                "est_jaccard": p.column("est_jaccard"),
+            }))
+        n_members = members.num_rows
+        out_members = pa.table({
+            "kind": pa.array(np.zeros(n_members, np.int8)),
+            "band_id": members.column("band_id"),
+            "band_hash": members.column("band_hash"),
+            "doc_id": members.column("doc_id"),
+            "sig": members.column("sig"),
+            "doc_a": pa.nulls(n_members, pa.int64()),
+            "doc_b": pa.nulls(n_members, pa.int64()),
+            "est_jaccard": pa.nulls(n_members, pa.float64()),
+        })
+        writer.write_table(out_members.cast(schema))
+        n_pairs = 0
+        if pair_parts:
+            pt = pa.concat_tables(pair_parts)
+            n_pairs = pt.num_rows
+            out_pairs = pa.table({
+                "kind": pa.array(np.ones(n_pairs, np.int8)),
+                "band_id": pt.column("band_id"),
+                "band_hash": pt.column("band_hash"),
+                "doc_id": pa.nulls(n_pairs, pa.int64()),
+                "sig": pa.nulls(n_pairs, pa.binary(NUM_PERM * 8)),
+                "doc_a": pt.column("doc_a"),
+                "doc_b": pt.column("doc_b"),
+                "est_jaccard": pt.column("est_jaccard"),
+            })
+            writer.write_table(out_pairs.cast(schema))
+        writer.close()
+        fsx.publish_file(fs, staged, state_path)
+        return pa.table({
+            "bucket": [bucket],
+            "state_path": [state_path],
+            "members": [n_members],
+            "pairs": [n_pairs],
+            "carried_rows": [carried],
+            "epoch_rows": [g.num_rows],
+        })
+
+    _fold.__name__ = "lsh_fold"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            docs.map_batches(MinHashStage(shingles), batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
+    totals = {k: int(sum(r[k] for r in stats))
+              for k in ("members", "pairs", "epoch_rows")}
+    manifest.publish(
+        epoch, bucket_files, totals,
+        partitioning={"num_buckets": num_buckets,
+                      "key_pk_cols": ["band_hash"],
+                      "threshold": float(threshold),
+                      "shingles": shingles, "hash_version": 2},
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "buckets": len(bucket_files), **totals}
+
+
+def read_pairs(state_root: str) -> ray.data.Dataset:
+    """Near-duplicate pairs over every epoch folded so far, deduped
+    across bands by max est_jaccard — row-for-row equal to batch
+    ``dedup_minhash_pairs`` on the union of the folded document sets."""
+    import pyarrow.compute as pc
+
+    manifest = TableManifest(state_root, LSH_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+    ds = read_parquet_clean(
+        files, filesystem=fs, columns=["kind", "doc_a", "doc_b", "est_jaccard"]
+    )
+
+    def _only_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 1))
+        return t.select(["doc_a", "doc_b", "est_jaccard"])
+
+    return (
+        ds.map_batches(_only_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_a", "doc_b"]).max("est_jaccard")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_a", "doc_b", "est_jaccard"]),
+            batch_format="pyarrow",
+        )
+    )

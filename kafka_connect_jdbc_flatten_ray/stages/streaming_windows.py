@@ -106,7 +106,7 @@ def _split_prior_state(
     row streams row-group-by-row-group straight into the new state file's
     writer — the whole bucket is never materialized on the fold task (at
     100 TB a bucket's key population dwarfs any single epoch's). Returns
-    (touched_state_df | None, open ParquetWriter, carried_rows)."""
+    (touched_state pa.Table | None, open ParquetWriter, carried_rows)."""
     writer = pq.ParquetWriter(staged, schema, filesystem=fs)
     if prior_path is None:
         return None, writer, 0
@@ -125,8 +125,8 @@ def _split_prior_state(
             if miss.num_rows:
                 writer.write_table(miss)
                 carried += miss.num_rows
-    df = pa.concat_tables(parts).to_pandas() if parts else None
-    return df, writer, carried
+    tbl = pa.concat_tables(parts) if parts else None
+    return tbl, writer, carried
 
 
 def _empty_sessions(key_name: str) -> pd.DataFrame:
@@ -330,8 +330,7 @@ def sessionize_epoch(
         state, writer, carried_rows = _split_prior_state(
             fs, prior.get(bucket), key, touched, st_schema, staged
         )
-        if state is None:
-            state = _empty_sessions(key)
+        state = _empty_sessions(key) if state is None else state.to_pandas()
         # LATE = older than the key's stored open-session END (per row)
         ev_ts = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
         if len(state):
@@ -521,6 +520,8 @@ def asof_epoch(
                  "last_value": pd.Series([], dtype="float64"),
                  "last_ts": pd.Series([], dtype="datetime64[us]")}
             )
+        else:
+            state = state.to_pandas()
         carry = dict(zip(state[key].to_numpy(), state["last_value"].to_numpy()))
         wm = dict(zip(
             state[key].to_numpy(),
@@ -752,6 +753,8 @@ def trailing_epoch(
                  id_col: pd.Series([], dtype="int64"),
                  ts: pd.Series([], dtype="datetime64[us]")}
             )
+        else:
+            state = state.to_pandas()
         ev = ev0.assign(__own=True)
         st = state.assign(__own=False)
         # late = epoch events older than their key's stored max timestamp

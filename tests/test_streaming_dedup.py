@@ -143,3 +143,70 @@ class TestIncrementalExactDedup:
         got = keepers(sd.read_keepers(root))
         assert 900 not in got and 901 in got
         assert [k for k in got if k < 900] == before
+
+
+class TestIncrementalMinHash:
+    def test_three_epochs_equal_batch(self, ray_session, sf_dir, tmp_path):
+        import pyarrow.parquet as pq
+        import pandas as pd
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import dedup_minhash_pairs
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy()
+        root = str(tmp_path / "lsh")
+        for part in range(3):
+            r = sd.minhash_pairs_epoch(
+                ray.data.from_arrow(t.filter(pa.array(ids % 3 == part))),
+                root, threshold=0.5,
+            )
+            assert r["buckets"] > 0
+        got = (sd.read_pairs(root).to_pandas()
+               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        want = (dedup_minhash_pairs(ray.data.from_arrow(t), threshold=0.5)
+                .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_smaller_doc_id_reanchors_star(self, ray_session, tmp_path):
+        """A later epoch introducing a smaller doc_id must re-anchor the
+        touched star groups exactly as batch would (pairs are recomputed,
+        not appended)."""
+        import pandas as pd
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import dedup_minhash_pairs
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        near = text.replace("dog", "cat")
+        root = str(tmp_path / "lsh")
+        e1 = docs([50, 51], [text, near])
+        e2 = docs([3], [text])  # same content, smaller id -> new anchor
+        sd.minhash_pairs_epoch(ray.data.from_arrow(e1), root, threshold=0.3)
+        sd.minhash_pairs_epoch(ray.data.from_arrow(e2), root, threshold=0.3)
+        got = (sd.read_pairs(root).to_pandas()
+               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        want = (dedup_minhash_pairs(
+                    ray.data.from_arrow(pa.concat_tables([e1, e2])),
+                    threshold=0.3)
+                .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        assert (got["doc_a"] == 3).any()  # the new doc anchors its groups
+
+    def test_redelivery_is_idempotent(self, ray_session, tmp_path):
+        """Folding the same documents twice changes nothing (members dedup
+        on (band, hash, doc))."""
+        root = str(tmp_path / "lsh")
+        e = docs([1, 2], ["a b c d e f g", "a b c d e f h"])
+        r1 = sd.minhash_pairs_epoch(ray.data.from_arrow(e), root, threshold=0.3)
+        pairs1 = sorted(map(tuple, sd.read_pairs(root).to_pandas().values.tolist()))
+        r2 = sd.minhash_pairs_epoch(ray.data.from_arrow(e), root, threshold=0.3)
+        pairs2 = sorted(map(tuple, sd.read_pairs(root).to_pandas().values.tolist()))
+        assert pairs1 == pairs2
+        assert r2["members"] <= r1["members"] * 1  # no growth on redelivery
+
+    def test_threshold_mismatch_refused(self, ray_session, tmp_path):
+        root = str(tmp_path / "lsh")
+        sd.minhash_pairs_epoch(
+            ray.data.from_arrow(docs([1], ["a b c"])), root, threshold=0.5
+        )
+        with pytest.raises(ValueError, match="threshold"):
+            sd.minhash_pairs_epoch(
+                ray.data.from_arrow(docs([2], ["a b d"])), root, threshold=0.4
+            )
