@@ -45,6 +45,7 @@ _ORDER_R4 = [
     "repetition_stats",
     "dedup_exact_incremental",
     "dedup_minhash_incremental",
+    "approx_distinct_incremental",
 ]
 
 

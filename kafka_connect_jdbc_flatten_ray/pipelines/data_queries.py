@@ -59,6 +59,38 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "user_id")
 
 
+def q_approx_distinct_incremental(sf_dir: str):
+    """Streaming counterpart to approx_distinct: fold the event stream in
+    three epochs through a lake-resident HLL register file — register max
+    is commutative and idempotent, so the final estimate shares the batch
+    HLL SQL oracle verbatim."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import sketches
+
+    root = tempfile.mkdtemp(prefix="kcjf_hll_state_")
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("user_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"hll_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        sketches.hll_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root, "user_id",
+        )
+    return sketches.read_estimate(root)
+
+
 def q_dedup_embedding_slim(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -573,6 +605,7 @@ def data_queries() -> dict:
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_distinct_incremental": q_approx_distinct_incremental,
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "token_count": q_token_count,
@@ -677,6 +710,9 @@ def data_oracles() -> dict:
         # — the oracle reproduces registers and the harmonic/linear-count
         # estimate exactly (approximate vs TRUTH, exact vs the engine)
         "approx_distinct_users": dedup_oracles.hll_distinct_sql(),
+        # register-wise max is commutative+idempotent: the epoch-folded
+        # registers equal the batch registers, so the estimate is identical
+        "approx_distinct_incremental": dedup_oracles.hll_distinct_sql(),
         # k-means-TRAINED IVF: fixed-iteration Lloyd's with deterministic
         # init is SQL-expressible by unrolling the 4 iterations (lockstep
         # unnest means + renormalization); also recall-tested vs brute force

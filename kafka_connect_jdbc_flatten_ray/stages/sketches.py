@@ -69,12 +69,88 @@ class HLLPartial:
         return pa.table({"sketch": pa.array([regs.tobytes()], pa.large_binary())})
 
 
-def approx_distinct(ds: ray.data.Dataset, column: str) -> pd.DataFrame:
-    """Approximate COUNT(DISTINCT column) via merged HLL sketches."""
+def _merged_registers(ds: ray.data.Dataset, column: str) -> np.ndarray:
     partials = ds.map_batches(
         HLLPartial(column), batch_format="pyarrow", zero_copy_batch=True
     )
     regs = np.zeros(M, np.uint8)
     for row in partials.take_all():  # kilobytes total — driver merge is fine
         regs = np.maximum(regs, np.frombuffer(row["sketch"], np.uint8))
+    return regs
+
+
+def approx_distinct(ds: ray.data.Dataset, column: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT column) via merged HLL sketches."""
+    regs = _merged_registers(ds, column)
+    return pd.DataFrame({"approx_distinct": [int(round(hll_estimate(regs)))]})
+
+
+# ---------------------------------------------------------------------------
+# incremental HLL (lake-resident registers)
+# ---------------------------------------------------------------------------
+
+HLL_TABLE = "hll_state"
+
+
+def hll_epoch(ds: ray.data.Dataset, state_root: str, column: str) -> dict:
+    """Fold one epoch of values into a lake-resident HLL sketch.
+
+    Register merge is a register-wise max — commutative and idempotent —
+    so after any number of folds in any order, :func:`read_estimate`
+    equals batch ``approx_distinct`` over the union of the folded
+    epochs, and shares its SQL oracle verbatim. State is ONE 4 KiB
+    register file under the same manifest/CAS machinery as every other
+    incremental operator; the per-epoch distributed work is the
+    kilobyte-combiner map_batches, never a shuffle."""
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+    from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+    import pyarrow.parquet as pq
+
+    manifest = TableManifest(state_root, HLL_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    fs, root = fsx.resolve(state_root)
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        regs = _merged_registers(ds, column)
+        prior = (m or {}).get("buckets", {}).get("0")
+        if prior:
+            with fs.open_input_file(prior) as f:
+                stored = pq.read_table(f).column("sketch")[0].as_py()
+            regs = np.maximum(regs, np.frombuffer(stored, np.uint8))
+        out_dir = fsx.join(root, HLL_TABLE, "bucket=00000")
+        fsx.makedirs(fs, out_dir)
+        path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, path)
+        pq.write_table(
+            pa.table({"sketch": pa.array([regs.tobytes()], pa.large_binary())}),
+            staged, filesystem=fs,
+        )
+        fsx.publish_file(fs, staged, path)
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    est = int(round(hll_estimate(regs)))
+    manifest.publish(
+        epoch, {0: path}, {"approx_distinct": est},
+        partitioning={"num_buckets": 1, "key_pk_cols": [column]},
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "approx_distinct": est}
+
+
+def read_estimate(state_root: str) -> pd.DataFrame:
+    """Current estimate from the lake-resident registers — equal to batch
+    ``approx_distinct`` on the union of all folded epochs."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+    from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+    manifest = TableManifest(state_root, HLL_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    path = manifest.current_files()[0]
+    with fs.open_input_file(path) as f:
+        regs = np.frombuffer(pq.read_table(f).column("sketch")[0].as_py(), np.uint8)
     return pd.DataFrame({"approx_distinct": [int(round(hll_estimate(regs)))]})

@@ -123,3 +123,32 @@ class TestConnectedComponents:
         got = {r["doc_id"]: r["cluster_id"] for r in clusters.take_all()}
         assert got == {0: 0, 1: 0, 2: 2, 3: 0}
         assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 2]
+
+
+class TestIncrementalHLL:
+    def test_three_epochs_equal_batch(self, ray_session, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages import sketches
+
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 5000, 20000).astype(np.int64)
+        t = pa.table({"v": vals})
+        root = str(tmp_path / "hll")
+        for lo, hi in ((0, 7000), (7000, 14000), (14000, 20000)):
+            r = sketches.hll_epoch(
+                ray.data.from_arrow(t.slice(lo, hi - lo)), root, "v"
+            )
+        batch = sketches.approx_distinct(ray.data.from_arrow(t), "v")
+        got = sketches.read_estimate(root)
+        assert got["approx_distinct"].iloc[0] == batch["approx_distinct"].iloc[0]
+        assert r["approx_distinct"] == got["approx_distinct"].iloc[0]
+
+    def test_refold_is_idempotent(self, ray_session, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages import sketches
+
+        t = pa.table({"v": pa.array(list(range(1000)), pa.int64())})
+        root = str(tmp_path / "hll")
+        sketches.hll_epoch(ray.data.from_arrow(t), root, "v")
+        e1 = sketches.read_estimate(root)["approx_distinct"].iloc[0]
+        r = sketches.hll_epoch(ray.data.from_arrow(t), root, "v")
+        assert r["epoch"] == 1
+        assert sketches.read_estimate(root)["approx_distinct"].iloc[0] == e1
