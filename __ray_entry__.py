@@ -46,6 +46,7 @@ _ORDER_R4 = [
     "dedup_exact_incremental",
     "dedup_minhash_incremental",
     "approx_distinct_incremental",
+    "semantic_dedup_keep",
 ]
 
 

@@ -462,6 +462,10 @@ FROM s
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    return dedup.semantic_dedup_keep(sf_dir, threshold=0.35)
+
+
 def q_ann_topk(sf_dir: str):
     return ann.ann_topk(sf_dir, k=5, num_queries=8)
 
@@ -603,6 +607,7 @@ def data_queries() -> dict:
         "dedup_embedding_pairs": q_dedup_embedding,
         "dedup_embedding_pairs_slim": q_dedup_embedding_slim,
         "dedup_minhash_keep": q_dedup_minhash_keep,
+        "semantic_dedup_keep": q_semantic_dedup,
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_distinct_incremental": q_approx_distinct_incremental,
@@ -706,6 +711,7 @@ def data_oracles() -> dict:
         "dedup_embedding_pairs_slim": dedup_oracles.embedding_pairs_sql(0.35, 64),
         # IVF with the SQL-stated centroid-sample rule is exactly checkable
         "ann_topk_ivf": dedup_oracles.ivf_topk_sql(),
+        "semantic_dedup_keep": dedup_oracles.semantic_dedup_sql(0.35),
         # the HLL ESTIMATE is deterministic given the splitmix64 value hash
         # — the oracle reproduces registers and the harmonic/linear-count
         # estimate exactly (approximate vs TRUTH, exact vs the engine)

@@ -494,6 +494,39 @@ cents{it} AS (
     return "".join(body)
 
 
+def semantic_dedup_sql(
+    threshold: float = 0.35, num_centroids: int = 16, sample_cap: int = 1024
+) -> str:
+    """Mirror of dedup.semantic_dedup_keep: the bounded-sample centroid
+    CTE and (sim DESC, cid ASC) assignment are shared with the IVF
+    oracle; the prune rule is a plain anti-join — a vector is pruned when
+    ANY earlier (smaller vec_id) member of its cluster has cosine >=
+    threshold after 6-decimal rounding, kept or not (min-id-wins, like
+    the rest of the dedup family)."""
+    return (
+        _ivf_head_sql(num_centroids, sample_cap)
+        + f""",
+sassign AS (
+  SELECT v.vec_id, c.cid, v.u,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_inner_product(v.u, c.u) DESC, c.cid)
+           AS r
+  FROM unitv v CROSS JOIN cents c
+),
+sbucket AS (SELECT vec_id, cid, u FROM sassign WHERE r = 1),
+spruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM sbucket a JOIN sbucket b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.u, b.u), 6) >= {threshold}
+)
+SELECT v.vec_id, CAST(v.cid AS INTEGER) AS cluster_id
+FROM sbucket v
+WHERE v.vec_id NOT IN (SELECT vec_id FROM spruned)
+"""
+    )
+
+
 def hll_distinct_sql(column: str = "user_id", table: str = "events",
                      p: int = 12) -> str:
     """Mirror of approx_distinct (stages/sketches.py): splitmix64 of the

@@ -1066,3 +1066,71 @@ def dedup_embedding_pairs_slim(
     return attached.groupby("vec_a").map_groups(
         _combine_star, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster, then prune within clusters)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_keep(
+    sf_dir: str, threshold: float = 0.35, num_centroids: int = 16
+) -> ray.data.Dataset:
+    """SemDeDup-style keep-set (Abbas et al. 2023, simplified to a
+    deterministic SQL-checkable rule): assign every embedding to its
+    nearest coarse centroid (the bounded-sample rule of ann.ivf_centroids
+    — row-group-pruned read, broadcast centroids), then within each
+    cluster PRUNE any vector that has an earlier (smaller vec_id) cluster
+    member with cosine >= threshold (rounded to 6 decimals). The pruning
+    reference is "any earlier member", kept or not — the same min-id-wins
+    convention as the rest of the dedup family, and exactly an anti-join
+    in SQL.
+
+    Scale shape: one broadcast of C centroids, one shuffle of (vec_id,
+    embedding, cluster) rows, then a per-cluster chunked lower-triangle
+    matmul — O(n_c^2) work per cluster but only O(chunk x n_c) memory;
+    cluster count is the knob that bounds n_c at corpus scale."""
+    from kafka_connect_jdbc_flatten_ray.stages.ann import (
+        IVFAssign, _mat, _unit, ivf_centroids,
+    )
+    from kafka_connect_jdbc_flatten_ray.util import (
+        default_pool, read_parquet_clean,
+    )
+
+    cents = ivf_centroids(sf_dir, num_centroids)
+    cref = ray.put(cents)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_args=(cref,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_pool(),
+    )
+
+    def _prune(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _unit(_mat(g.column("embedding")))
+        order = np.argsort(ids, kind="stable")
+        ids_s, m_s = ids[order], m[order]
+        n = len(ids_s)
+        pruned = np.zeros(n, bool)
+        step = 1024  # bounded [step, n_c] similarity block
+        for s in range(1, n, step):
+            e = min(s + step, n)
+            sims = np.round(m_s[s:e] @ m_s[:e].T, 6)
+            rows = np.arange(s, e)[:, None]
+            cols = np.arange(e)[None, :]
+            sims[cols >= rows] = -2.0  # only EARLIER members can prune
+            pruned[s:e] = (sims >= threshold).any(axis=1)
+        keep = ~pruned
+        bucket = g.column("ivf_bucket").to_numpy(zero_copy_only=False)[order]
+        return pa.table({
+            "vec_id": pa.array(ids_s[keep]),
+            "cluster_id": pa.array(bucket[keep].astype(np.int32)),
+        })
+
+    _prune.__name__ = "semantic_prune"
+    return assigned.groupby("ivf_bucket").map_groups(
+        _prune, batch_format="pyarrow"
+    )

@@ -206,3 +206,30 @@ class TestIVFTrained:
         bfs = {(r["query_id"], r["vec_id"]) for r in bf}
         ivs = {(r["query_id"], r["vec_id"]) for r in ivf}
         assert len(bfs & ivs) == len(bfs)
+
+
+class TestSemanticDedup:
+    def test_planted_near_dups_pruned(self, ray_session, tmp_path):
+        """Identical vectors collapse to the smallest vec_id; orthogonal
+        vectors survive; output matches the min-id-wins anti-join rule."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import semantic_dedup_keep
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(6, 16).astype(np.float32)
+        base[1] = base[0]                  # exact dup of 0
+        base[3] = base[2] + 1e-4           # near dup of 2
+        vecs = [list(map(float, v)) for v in base]
+        t = pa.table({
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = semantic_dedup_keep(str(tmp_path), threshold=0.9, num_centroids=2)
+        kept = sorted(r["vec_id"] for r in out.take_all())
+        assert 0 in kept and 2 in kept
+        assert 1 not in kept and 3 not in kept
+        assert len(kept) == 4
