@@ -47,6 +47,7 @@ _ORDER_R4 = [
     "dedup_minhash_incremental",
     "approx_distinct_incremental",
     "semantic_dedup_keep",
+    "value_quantiles",
 ]
 
 

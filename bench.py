@@ -136,7 +136,9 @@ def run_queries() -> dict:
     # representative corpus operators (documents/embeddings tables)
     dqs = dq.data_queries()
     for name in ["dedup_exact", "chunk_docs", "dedup_minhash_pairs",
-                 "model_quality_scores", "ann_cosine_topk"]:
+                 "model_quality_scores", "ann_cosine_topk",
+                 "semantic_dedup_keep", "dedup_exact_incremental",
+                 "repetition_stats"]:
         t0 = time.perf_counter()
         ds = dqs[name](SF_DIR)
         if hasattr(ds, "count"):

@@ -462,6 +462,22 @@ FROM s
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles over events.value — histogram
+    refinement (3 bounded passes), never a global sort."""
+    from kafka_connect_jdbc_flatten_ray.stages.quantiles import quantiles_exact
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantiles_exact(ds, "value", (0.25, 0.5, 0.9, 0.99))
+
+
+ORACLE_QUANTILES = """
+SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q,
+       unnest(quantile_disc(value, [0.25, 0.5, 0.9, 0.99])) AS value
+FROM events
+"""
+
+
 def q_semantic_dedup(sf_dir: str):
     return dedup.semantic_dedup_keep(sf_dir, threshold=0.35)
 
@@ -608,6 +624,7 @@ def data_queries() -> dict:
         "dedup_embedding_pairs_slim": q_dedup_embedding_slim,
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "semantic_dedup_keep": q_semantic_dedup,
+        "value_quantiles": q_value_quantiles,
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_distinct_incremental": q_approx_distinct_incremental,
@@ -712,6 +729,7 @@ def data_oracles() -> dict:
         # IVF with the SQL-stated centroid-sample rule is exactly checkable
         "ann_topk_ivf": dedup_oracles.ivf_topk_sql(),
         "semantic_dedup_keep": dedup_oracles.semantic_dedup_sql(0.35),
+        "value_quantiles": ORACLE_QUANTILES,
         # the HLL ESTIMATE is deterministic given the splitmix64 value hash
         # — the oracle reproduces registers and the harmonic/linear-count
         # estimate exactly (approximate vs TRUTH, exact vs the engine)

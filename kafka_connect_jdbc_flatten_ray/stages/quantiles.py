@@ -1,0 +1,121 @@
+"""Exact distributed quantiles via histogram refinement.
+
+Three bounded passes, no global sort (a full ``ds.sort`` is an
+all-to-all exchange of every row; quantiles only need counts):
+
+1. min/max + row count (per-batch combiner, one tiny row per batch);
+2. fixed-width histogram over [min, max] (per-batch bincount partials,
+   summed on the driver — kilobytes regardless of input size);
+3. collect ONLY the values inside the bins that contain the requested
+   ranks (a filter map_batches; each such bin holds a tiny fraction of
+   the data when the histogram is fine enough), then select the exact
+   rank element driver-side from that small set.
+
+If a rank bin is pathologically overfull (heavily duplicated value), the
+collect pass still returns exactly that bin's values — memory is bounded
+by the largest duplicate run, which no exact method can avoid short of
+counting duplicates; ``max_collect`` guards it loudly.
+
+Matches DuckDB ``quantile_disc(col, q)``: the element at 1-based rank
+``ceil(q * n)`` of the sorted values (verified in tests over random and
+duplicate-heavy inputs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+NUM_BINS = 8192
+MAX_COLLECT = 5_000_000  # loud bound on driver-side rank-bin collection
+
+
+def _minmax_count(batch: pa.Table, column: str) -> pa.Table:
+    v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+    v = v[~np.isnan(v)]
+    if not len(v):
+        return pa.table({"lo": pa.array([], pa.float64()),
+                         "hi": pa.array([], pa.float64()),
+                         "n": pa.array([], pa.int64())})
+    return pa.table({"lo": [float(v.min())], "hi": [float(v.max())],
+                     "n": [int(len(v))]})
+
+
+def _hist_partial(batch: pa.Table, column: str, lo: float, width: float) -> pa.Table:
+    v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+    v = v[~np.isnan(v)]
+    idx = np.clip(((v - lo) / width).astype(np.int64), 0, NUM_BINS - 1)
+    counts = np.bincount(idx, minlength=NUM_BINS)
+    return pa.table({"counts": pa.array([counts.astype(np.int64)],
+                                        pa.list_(pa.int64(), NUM_BINS))})
+
+
+def quantiles_exact(
+    ds: ray.data.Dataset, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99)
+) -> pd.DataFrame:
+    """Exact ``quantile_disc`` values for ``qs`` over ``ds[column]``.
+
+    Returns a DataFrame (q, value) — one row per requested quantile."""
+    from kafka_connect_jdbc_flatten_ray.util import fsl_to_numpy
+
+    # pass 1: bounds + count (tiny rows only reach the driver)
+    mm = ds.map_batches(
+        lambda t: _minmax_count(t, column), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    if not mm:
+        return pd.DataFrame({"q": list(qs), "value": [np.nan] * len(qs)})
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    n = sum(r["n"] for r in mm)
+    ranks = {q: int(np.ceil(q * n)) if q > 0 else 1 for q in qs}  # 1-based
+    if hi == lo:
+        return pd.DataFrame({"q": list(qs), "value": [lo] * len(qs)})
+    width = (hi - lo) / NUM_BINS
+
+    # pass 2: histogram partials (one NUM_BINS row per batch, summed here)
+    parts = ds.map_batches(
+        lambda t: _hist_partial(t, column, lo, width), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = np.zeros(NUM_BINS, np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        counts += fsl_to_numpy(b.column("counts"), np.int64).sum(axis=0)
+    cum = np.cumsum(counts)
+
+    # which bins hold the requested ranks, and how many values precede them
+    need_bins: dict[int, int] = {}
+    for q, r in ranks.items():
+        b = int(np.searchsorted(cum, r, side="left"))
+        need_bins[b] = int(cum[b - 1]) if b else 0
+    if sum(counts[b] for b in need_bins) > MAX_COLLECT:
+        raise ValueError(
+            f"rank bins hold > {MAX_COLLECT} values (heavy duplication); "
+            "raise MAX_COLLECT or pre-aggregate duplicates"
+        )
+
+    # pass 3: collect only the rank bins' values
+    bset = np.array(sorted(need_bins), np.int64)
+
+    def _collect(t: pa.Table) -> pa.Table:
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, NUM_BINS - 1)
+        sel = np.isin(idx, bset)
+        return pa.table({"value": pa.array(v[sel], pa.float64()),
+                         "bin": pa.array(idx[sel], pa.int64())})
+
+    got = ds.map_batches(_collect, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()
+    by_bin: dict[int, list[float]] = {int(b): [] for b in bset}
+    for r in got:
+        by_bin[int(r["bin"])].append(r["value"])
+    out = []
+    for q, r in ranks.items():
+        b = int(np.searchsorted(cum, r, side="left"))
+        vals = np.sort(np.asarray(by_bin[b]))
+        out.append((q, float(vals[r - need_bins[b] - 1])))
+    return pd.DataFrame({"q": [o[0] for o in out],
+                         "value": [o[1] for o in out]})
