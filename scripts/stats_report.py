@@ -32,6 +32,11 @@ def main() -> None:
     from kafka_connect_jdbc_flatten_ray.stages.merge import MergeToLake
 
     sf = "/root/testdata/sf0.1"
+    # untimed warm-up epoch (same as bench.py): spins flatten-plan caches,
+    # zstd contexts and the shuffle workers so the recorded stats are warm
+    # steady state, not first-touch overhead
+    warm = tempfile.mkdtemp()
+    ingest.run_epoch(sf, warm, replicate=10)
     cfg = ingest.default_config()
     plan = ingest.default_plan(cfg)
     key_cols = {tp.table: tp.key_pk_cols for tp in plan.tables}
