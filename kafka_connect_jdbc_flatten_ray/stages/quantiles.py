@@ -107,15 +107,18 @@ def quantiles_exact(
         return pa.table({"value": pa.array(v[sel], pa.float64()),
                          "bin": pa.array(idx[sel], pa.int64())})
 
-    got = ds.map_batches(_collect, batch_format="pyarrow",
-                         zero_copy_batch=True).take_all()
-    by_bin: dict[int, list[float]] = {int(b): [] for b in bset}
-    for r in got:
-        by_bin[int(r["bin"])].append(r["value"])
+    vparts, bparts = [], []
+    for b in ds.map_batches(_collect, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        vparts.append(b.column("value").to_numpy(zero_copy_only=False))
+        bparts.append(b.column("bin").to_numpy(zero_copy_only=False))
+    vals_all = np.concatenate(vparts) if vparts else np.empty(0)
+    bins_all = np.concatenate(bparts) if bparts else np.empty(0, np.int64)
     out = []
     for q, r in ranks.items():
         b = int(np.searchsorted(cum, r, side="left"))
-        vals = np.sort(np.asarray(by_bin[b]))
+        vals = np.sort(vals_all[bins_all == b])
         out.append((q, float(vals[r - need_bins[b] - 1])))
     return pd.DataFrame({"q": [o[0] for o in out],
                          "value": [o[1] for o in out]})

@@ -381,6 +381,10 @@ def minhash_pairs_epoch(
             ).combine_chunks()
         else:
             members = new_members
+        # the epoch guard above bounds NEW rows; a hot band-hash group's
+        # accumulated membership can dwarf them — guard the in-memory set
+        _guard_fold(members.num_rows, "minhash_pairs_epoch(members)",
+                    num_buckets, fold_limit)
         bid = members.column("band_id").to_numpy(zero_copy_only=False)
         bh = members.column("band_hash").to_numpy(zero_copy_only=False)
         did = members.column("doc_id").to_numpy(zero_copy_only=False)
