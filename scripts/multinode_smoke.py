@@ -101,6 +101,40 @@ def main() -> None:
                       "equal": inc == a,
                       "sec": round(time.perf_counter() - t0, 1)}))
     assert inc == a, "incremental sessionize diverged on the virtual cluster"
+
+    # incremental dedup trio on the virtual cluster: fold tasks on any
+    # node write state under the shared lake root; the second epoch's
+    # folds (possibly on other nodes) must stream that prior state back
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_dedup as sd
+
+    ids = docs.select_columns(["doc_id"])  # noqa: F841 (forces schema read)
+    droot = tempfile.mkdtemp(prefix="multinode_dedupstate_")
+    t0 = time.perf_counter()
+    dt = pq2.read_table(f"{args.sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    half = dt.num_rows // 2
+    sd.dedup_exact_epoch(rd.from_arrow(dt.slice(0, half)), droot)
+    sd.dedup_exact_epoch(rd.from_arrow(dt.slice(half)), droot)
+    inc_keep = sd.read_keepers(droot).count()
+    batch_keep = dedup.dedup_exact(rd.from_arrow(dt)).count()
+    print(json.dumps({"incremental_keepers": inc_keep,
+                      "batch_keepers": batch_keep,
+                      "equal": inc_keep == batch_keep,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_keep == batch_keep, "incremental exact dedup diverged"
+
+    lroot = tempfile.mkdtemp(prefix="multinode_lshstate_")
+    t0 = time.perf_counter()
+    sd.minhash_pairs_epoch(rd.from_arrow(dt.slice(0, half)), lroot,
+                           threshold=0.5)
+    sd.minhash_pairs_epoch(rd.from_arrow(dt.slice(half)), lroot,
+                           threshold=0.5)
+    inc_pairs = sd.read_pairs(lroot).count()
+    print(json.dumps({"incremental_lsh_pairs": inc_pairs,
+                      "batch_lsh_pairs": n_pairs,
+                      "equal": inc_pairs == n_pairs,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_pairs == n_pairs, "incremental LSH diverged"
     ray.shutdown()
     cluster.shutdown()
 
