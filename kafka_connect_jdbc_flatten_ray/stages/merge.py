@@ -181,6 +181,32 @@ def _factorize_array(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, int]:
     return idx.to_numpy(zero_copy_only=False).astype(np.int64), n
 
 
+def _probe_key_array(tbl: pa.Table, key_cols: tuple[str, ...], schema):
+    """One vectorized probe key per row for pc.index_in: the key column
+    itself when the pk is a single column, else a LENGTH-PREFIXED string
+    concat (len1|val1|len2|val2 — a value containing the separator cannot
+    alias another tuple because the lengths disambiguate). Columns are
+    cast to the unified schema's field types first so an int32 chunk and
+    an int64 clear row produce identical probe keys. Nulls take a 1-byte
+    sentinel (a CDC pk is never null; only aliasing a literal one-byte
+    \\x00 pk value could collide)."""
+    import pyarrow.compute as pc
+
+    def _col(c):
+        col = tbl.column(c)
+        if schema is not None and schema.field(c).type != col.type:
+            col = col.cast(schema.field(c).type)
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    if len(key_cols) == 1:
+        return _col(key_cols[0])
+    parts = []
+    for c in key_cols:
+        s = pc.fill_null(pc.cast(_col(c), pa.large_string()), "\x00")
+        parts.extend([pc.cast(pc.utf8_length(s), pa.large_string()), s])
+    return pc.binary_join_element_wise(*parts, pa.scalar("|", pa.large_string()))
+
+
 def _factorize_multi(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
     combined = None
     for c in cols:
@@ -456,7 +482,15 @@ class MergeToLake:
             clear_tbl = None
         unified = pa.unify_schemas(schemas, promote_options="permissive") \
             if schemas else None
-
+        if clear_tbl is not None:
+            # build the clear-key probe ONCE per bucket: per-chunk joint
+            # factorize was O(chunks x clears) — measured 64x the CPU at
+            # 10x data (4,414 s vs 68.7 s across the stage). index_in is
+            # Arrow's hash-join probe: one build over the unique clear
+            # keys, then each chunk pays only its own row count.
+            mcvals = clear_tbl.column("__mc_max").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            clear_probe = _probe_key_array(clear_tbl, key_cols, unified)
         # ---- pass 2: filter survivors per chunk, append via ParquetWriter ----
         from kafka_connect_jdbc_flatten_ray.state import fs as fsx
 
@@ -471,27 +505,18 @@ class MergeToLake:
                 op = chunk.column(OP_COL).to_numpy(zero_copy_only=False)
                 keep = op == OP_INSERT
                 if clear_tbl is not None and keep.any():
+                    import pyarrow.compute as pc
+
                     rank = _rank(chunk)
-                    # probe via one joint factorize (the last_wins pattern):
-                    # codes over clear keys ++ chunk keys, scatter the max
-                    # clear ranks, gather per chunk row — order-preserving,
-                    # no pandas round-trip
-                    nclr = clear_tbl.num_rows
-                    joint = pa.concat_tables(
-                        [clear_tbl.select(list(key_cols)),
-                         chunk.select(list(key_cols))],
-                        promote_options="permissive",
+                    idx = pc.index_in(
+                        _probe_key_array(chunk, key_cols, unified),
+                        value_set=clear_probe,
                     )
-                    if len(key_cols) == 1:
-                        codes, _ = _factorize_array(joint.column(key_cols[0]))
-                    else:
-                        codes = _factorize_multi(joint, key_cols)
-                    ngroups = int(codes.max()) + 1 if len(codes) else 0
-                    maxclear = np.full(ngroups, np.int64(-1))
-                    mcvals = clear_tbl.column("__mc_max").to_numpy(
+                    idxnp = pc.fill_null(idx, -1).to_numpy(
                         zero_copy_only=False).astype(np.int64)
-                    np.maximum.at(maxclear, codes[:nclr], mcvals)
-                    mc = maxclear[codes[nclr:]]
+                    mc = np.where(idxnp >= 0,
+                                  mcvals[np.clip(idxnp, 0, None)],
+                                  np.int64(-1))
                     if is_prior:
                         keep &= rank > mc  # strict domination for lake rows
                     else:
