@@ -48,6 +48,7 @@ _ORDER_R4 = [
     "approx_distinct_incremental",
     "semantic_dedup_keep",
     "value_quantiles",
+    "value_quantiles_incremental",
 ]
 
 

@@ -478,6 +478,40 @@ FROM events
 """
 
 
+def q_value_quantiles_incremental(sf_dir: str):
+    """Streaming counterpart to value_quantiles: fold the event stream in
+    three epochs through a lake-resident counted-multiset state, then run
+    the weighted refinement over the state — addition is commutative, so
+    any epoch split gives the batch answer and the query shares the batch
+    SQL oracle verbatim."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_quantiles as sq
+
+    root = tempfile.mkdtemp(prefix="kcjf_quantile_state_")
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("event_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"quantile_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        sq.value_counts_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root, "value",
+        )
+    return sq.quantiles_from_state(root, (0.25, 0.5, 0.9, 0.99))
+
+
 def q_semantic_dedup(sf_dir: str):
     return dedup.semantic_dedup_keep(sf_dir, threshold=0.35)
 
@@ -625,6 +659,7 @@ def data_queries() -> dict:
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "semantic_dedup_keep": q_semantic_dedup,
         "value_quantiles": q_value_quantiles,
+        "value_quantiles_incremental": q_value_quantiles_incremental,
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_distinct_incremental": q_approx_distinct_incremental,
@@ -730,6 +765,9 @@ def data_oracles() -> dict:
         "ann_topk_ivf": dedup_oracles.ivf_topk_sql(),
         "semantic_dedup_keep": dedup_oracles.semantic_dedup_sql(0.35),
         "value_quantiles": ORACLE_QUANTILES,
+        # counted-multiset folds are order-independent sums: the weighted
+        # refinement over the state ranks exactly like the batch pass
+        "value_quantiles_incremental": ORACLE_QUANTILES,
         # the HLL ESTIMATE is deterministic given the splitmix64 value hash
         # — the oracle reproduces registers and the harmonic/linear-count
         # estimate exactly (approximate vs TRUTH, exact vs the engine)

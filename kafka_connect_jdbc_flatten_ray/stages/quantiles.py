@@ -19,6 +19,11 @@ counting duplicates; ``max_collect`` guards it loudly.
 Matches DuckDB ``quantile_disc(col, q)``: the element at 1-based rank
 ``ceil(q * n)`` of the sorted values (verified in tests over random and
 duplicate-heavy inputs).
+
+``weight`` generalizes every pass to pre-counted values (one row per
+distinct value carrying its multiplicity) — the read path of the
+incremental quantile state (stages/streaming_quantiles.py), whose
+answers must equal the unweighted batch pass over the raw rows.
 """
 
 from __future__ import annotations
@@ -32,37 +37,58 @@ NUM_BINS = 8192
 MAX_COLLECT = 5_000_000  # loud bound on driver-side rank-bin collection
 
 
-def _minmax_count(batch: pa.Table, column: str) -> pa.Table:
+def _vals_weights(
+    batch: pa.Table, column: str, weight: str | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """NaN-filtered float64 values and their int64 multiplicities (all
+    ones when ``weight`` is None)."""
     v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
-    v = v[~np.isnan(v)]
+    ok = ~np.isnan(v)
+    if weight is None:
+        w = np.ones(int(ok.sum()), np.int64)
+    else:
+        w = batch.column(weight).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = w[ok]
+    return v[ok], w
+
+
+def _minmax_count(batch: pa.Table, column: str, weight: str | None) -> pa.Table:
+    v, w = _vals_weights(batch, column, weight)
     if not len(v):
         return pa.table({"lo": pa.array([], pa.float64()),
                          "hi": pa.array([], pa.float64()),
                          "n": pa.array([], pa.int64())})
     return pa.table({"lo": [float(v.min())], "hi": [float(v.max())],
-                     "n": [int(len(v))]})
+                     "n": [int(w.sum())]})
 
 
-def _hist_partial(batch: pa.Table, column: str, lo: float, width: float) -> pa.Table:
-    v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
-    v = v[~np.isnan(v)]
+def _hist_partial(
+    batch: pa.Table, column: str, lo: float, width: float, weight: str | None
+) -> pa.Table:
+    v, w = _vals_weights(batch, column, weight)
     idx = np.clip(((v - lo) / width).astype(np.int64), 0, NUM_BINS - 1)
-    counts = np.bincount(idx, minlength=NUM_BINS)
+    counts = np.bincount(idx, weights=w.astype(np.float64), minlength=NUM_BINS)
     return pa.table({"counts": pa.array([counts.astype(np.int64)],
                                         pa.list_(pa.int64(), NUM_BINS))})
 
 
 def quantiles_exact(
-    ds: ray.data.Dataset, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99)
+    ds: ray.data.Dataset,
+    column: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    weight: str | None = None,
 ) -> pd.DataFrame:
     """Exact ``quantile_disc`` values for ``qs`` over ``ds[column]``.
 
-    Returns a DataFrame (q, value) — one row per requested quantile."""
+    ``weight`` names an int64 multiplicity column: each row then counts as
+    ``weight`` occurrences of ``column`` (the counted-multiset layout of
+    the incremental quantile state). Returns a DataFrame (q, value) — one
+    row per requested quantile."""
     from kafka_connect_jdbc_flatten_ray.util import fsl_to_numpy
 
     # pass 1: bounds + count (tiny rows only reach the driver)
     mm = ds.map_batches(
-        lambda t: _minmax_count(t, column), batch_format="pyarrow",
+        lambda t: _minmax_count(t, column, weight), batch_format="pyarrow",
         zero_copy_batch=True,
     ).take_all()
     if not mm:
@@ -77,8 +103,8 @@ def quantiles_exact(
 
     # pass 2: histogram partials (one NUM_BINS row per batch, summed here)
     parts = ds.map_batches(
-        lambda t: _hist_partial(t, column, lo, width), batch_format="pyarrow",
-        zero_copy_batch=True,
+        lambda t: _hist_partial(t, column, lo, width, weight),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     counts = np.zeros(NUM_BINS, np.int64)
     for b in parts.iter_batches(batch_format="pyarrow"):
@@ -100,25 +126,33 @@ def quantiles_exact(
     bset = np.array(sorted(need_bins), np.int64)
 
     def _collect(t: pa.Table) -> pa.Table:
-        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
+        v, w = _vals_weights(t, column, weight)
         idx = np.clip(((v - lo) / width).astype(np.int64), 0, NUM_BINS - 1)
         sel = np.isin(idx, bset)
         return pa.table({"value": pa.array(v[sel], pa.float64()),
-                         "bin": pa.array(idx[sel], pa.int64())})
+                         "bin": pa.array(idx[sel], pa.int64()),
+                         "w": pa.array(w[sel], pa.int64())})
 
-    vparts, bparts = [], []
+    vparts, bparts, wparts = [], [], []
     for b in ds.map_batches(_collect, batch_format="pyarrow",
                             zero_copy_batch=True).iter_batches(
                                 batch_format="pyarrow"):
         vparts.append(b.column("value").to_numpy(zero_copy_only=False))
         bparts.append(b.column("bin").to_numpy(zero_copy_only=False))
+        wparts.append(b.column("w").to_numpy(zero_copy_only=False))
     vals_all = np.concatenate(vparts) if vparts else np.empty(0)
     bins_all = np.concatenate(bparts) if bparts else np.empty(0, np.int64)
+    ws_all = np.concatenate(wparts) if wparts else np.empty(0, np.int64)
     out = []
     for q, r in ranks.items():
         b = int(np.searchsorted(cum, r, side="left"))
-        vals = np.sort(vals_all[bins_all == b])
-        out.append((q, float(vals[r - need_bins[b] - 1])))
+        in_bin = bins_all == b
+        order = np.argsort(vals_all[in_bin], kind="stable")
+        vals = vals_all[in_bin][order]
+        wcum = np.cumsum(ws_all[in_bin][order])
+        # first sorted element whose cumulative multiplicity reaches the
+        # rank's offset inside the bin == the unweighted vals[r-prec-1]
+        pos = int(np.searchsorted(wcum, r - need_bins[b], side="left"))
+        out.append((q, float(vals[pos])))
     return pd.DataFrame({"q": [o[0] for o in out],
                          "value": [o[1] for o in out]})
