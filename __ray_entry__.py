@@ -49,6 +49,8 @@ _ORDER_R4 = [
     "semantic_dedup_keep",
     "value_quantiles",
     "value_quantiles_incremental",
+    "contamination_check",
+    "contamination_incremental",
 ]
 
 

@@ -478,6 +478,62 @@ FROM events
 """
 
 
+def _bench_docs(sf_dir: str) -> ray.data.Dataset:
+    """The query-surface benchmark set: every 17th document (a stand-in
+    for an eval corpus drawn from the same distribution)."""
+    import pyarrow as pa
+
+    def _f(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    _f.__name__ = "bench_subset"
+    return _docs(sf_dir).map_batches(_f, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination check, distributed variant: doc and bench
+    n-gram hashes exchange (8-byte rows, never text) with a broadcast
+    bloom prefilter dropping the clean majority of doc n-grams."""
+    from kafka_connect_jdbc_flatten_ray.stages import scrub
+
+    return scrub.contamination_check_distributed(
+        _docs(sf_dir), _bench_docs(sf_dir), n=8
+    )
+
+
+def q_contamination_incremental(sf_dir: str):
+    """Streaming counterpart: fold the benchmark set in three epochs into
+    a lake-resident n-gram registry (hash set + bloom sidecar), then check
+    the corpus against the state — set union and bitset OR are commutative
+    and idempotent, so the query shares the batch SQL oracle verbatim."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_scrub as ss
+
+    root = tempfile.mkdtemp(prefix="kcjf_contam_state_")
+    bench = _bench_docs(sf_dir)
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"contam_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        ss.benchmark_ngrams_epoch(
+            bench.map_batches(_part(part), batch_format="pyarrow",
+                              zero_copy_batch=True),
+            root, n=8,
+        )
+    return ss.contamination_check_incremental(_docs(sf_dir), root)
+
+
 def q_value_quantiles_incremental(sf_dir: str):
     """Streaming counterpart to value_quantiles: fold the event stream in
     three epochs through a lake-resident counted-multiset state, then run
@@ -660,6 +716,8 @@ def data_queries() -> dict:
         "semantic_dedup_keep": q_semantic_dedup,
         "value_quantiles": q_value_quantiles,
         "value_quantiles_incremental": q_value_quantiles_incremental,
+        "contamination_check": q_contamination,
+        "contamination_incremental": q_contamination_incremental,
         "dedup_minhash_clusters": q_dedup_clusters,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_distinct_incremental": q_approx_distinct_incremental,
@@ -768,6 +826,12 @@ def data_oracles() -> dict:
         # counted-multiset folds are order-independent sums: the weighted
         # refinement over the state ranks exactly like the batch pass
         "value_quantiles_incremental": ORACLE_QUANTILES,
+        # per-occurrence hit counts vs the benchmark's distinct 8-gram
+        # hashes, mirrored as an 8-way positional self-join of the token
+        # CTE; the incremental variant folds the registry (set union /
+        # bloom OR — commutative AND idempotent) and shares the SQL
+        "contamination_check": dedup_oracles.contamination_sql(8, 17),
+        "contamination_incremental": dedup_oracles.contamination_sql(8, 17),
         # the HLL ESTIMATE is deterministic given the splitmix64 value hash
         # — the oracle reproduces registers and the harmonic/linear-count
         # estimate exactly (approximate vs TRUTH, exact vs the engine)

@@ -585,3 +585,40 @@ SELECT CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
                   THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
                   ELSE raw END) AS BIGINT) AS approx_distinct
 FROM est"""
+
+
+def contamination_sql(n: int = 8, bench_mod: int = 17) -> str:
+    """Oracle for contamination_check_distributed / _incremental with the
+    benchmark set = documents whose doc_id % bench_mod == 0.
+
+    Mirrors stages/dedup.py:_shingle_hashes_words at word width ``n``: the
+    rolling recurrence sh[:-i] = sh[:-i]*B + th[i:]*C over i=1..n-1 expands
+    to sh(pos) = th_pos*A*B^(n-1) + sum_i th_{pos+i}*C*B^(n-1-i), stated as
+    an n-way positional self-join of the token-hash CTE. ngram_hits counts
+    doc n-gram OCCURRENCES (within-doc duplicates included) whose hash
+    appears anywhere in the benchmark's distinct hash set — exactly the
+    engine's per-occurrence np.add.at / groupby-sum semantics."""
+    ks = [(_A * pow(_B, n - 1, _M)) % _M] + [
+        (_C * pow(_B, n - 1 - i, _M)) % _M for i in range(1, n)
+    ]
+    joins = "\n  ".join(
+        f"JOIN th t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n)
+    )
+    terms = " + ".join(_mul(f"t{i}.th", ks[i]) for i in range(n))
+    return f"""WITH {_TH},
+shn AS (
+  SELECT t0.doc_id, ({terms}) % {_MSTR} AS sh
+  FROM th t0
+  {joins}
+),
+bench AS (SELECT DISTINCT sh FROM shn WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT d.doc_id, count(*) AS ngram_hits
+  FROM shn d JOIN bench USING (sh)
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(h.ngram_hits, 0) > 0 AS contaminated,
+       CAST(COALESCE(h.ngram_hits, 0) AS BIGINT) AS ngram_hits
+FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id"""

@@ -267,6 +267,17 @@ def contamination_check_distributed(
     tagged = docs.map_batches(_doc_rows, batch_format="pyarrow", zero_copy_batch=True).union(
         benchmark.map_batches(_bench_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
+    return _exchange_and_count(tagged, docs)
+
+
+def _exchange_and_count(
+    tagged: ray.data.Dataset, docs: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Shared tail of the distributed/incremental contamination checks:
+    shard the tagged (h, doc_id, is_bench) rows by hash, mark doc rows
+    whose hash has a bench row, per-doc-sum the hits, then re-attach
+    zero-hit docs via the empty-block-safe union+groupby pattern."""
+    from ray.data.aggregate import Sum
 
     def _mark(g: pa.Table) -> pa.Table:
         """All rows of one shard of hashes: doc rows whose hash also has a
