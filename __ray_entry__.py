@@ -51,6 +51,7 @@ _ORDER_R4 = [
     "value_quantiles_incremental",
     "contamination_check",
     "contamination_incremental",
+    "dedup_embedding_incremental",
 ]
 
 

@@ -113,6 +113,43 @@ def q_dedup_embedding(sf_dir: str):
     return dedup.dedup_embedding_pairs(emb, dim, threshold=0.35)
 
 
+def q_dedup_embedding_incremental(sf_dir: str):
+    """Streaming counterpart to dedup_embedding_pairs: fold the vectors in
+    three epochs through lake-resident hyperplane-bucket state, then read
+    the pair set — touched (table, bucket) stars recompute in full, so
+    arrival order never matters and the query shares the batch embedding
+    SQL oracle verbatim."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_dedup as sd
+
+    t = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0).slice(0, 1)
+    dim = len(t.column("embedding")[0])
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    root = tempfile.mkdtemp(prefix="kcjf_emb_state_")
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"emb_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        sd.embedding_pairs_epoch(
+            emb.map_batches(_part(part), batch_format="pyarrow",
+                            zero_copy_batch=True),
+            root, dim, threshold=0.35,
+        )
+    return sd.read_embedding_pairs(root)
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(
         textops.TokenCount(), batch_format="pyarrow", zero_copy_batch=True
@@ -723,6 +760,7 @@ def data_queries() -> dict:
         "approx_distinct_incremental": q_approx_distinct_incremental,
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
@@ -819,6 +857,9 @@ def data_oracles() -> dict:
         # sides (dim=64 matches every testdata scale factor)
         "dedup_embedding_pairs": dedup_oracles.embedding_pairs_sql(0.35, 64),
         "dedup_embedding_pairs_slim": dedup_oracles.embedding_pairs_sql(0.35, 64),
+        # full-group recompute makes the epoch folds order-independent, so
+        # the incremental pair set shares the batch embedding SQL
+        "dedup_embedding_incremental": dedup_oracles.embedding_pairs_sql(0.35, 64),
         # IVF with the SQL-stated centroid-sample rule is exactly checkable
         "ann_topk_ivf": dedup_oracles.ivf_topk_sql(),
         "semantic_dedup_keep": dedup_oracles.semantic_dedup_sql(0.35),

@@ -521,3 +521,241 @@ def read_pairs(state_root: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding near-dedup (lake-resident hyperplane-bucket state)
+# ---------------------------------------------------------------------------
+
+EMB_TABLE = "emb_lsh_state"
+
+#: same union-schema trick as the minhash state (one file per bucket keeps
+#: members and pairs under a SINGLE manifest commit):
+#: kind 0 = bucket member (tb, vec_id, vec) — tb packs (table_id, bucket)
+#: into one int64 so the prior-state split streams on one key column;
+#: vec is fixed_size_binary (dim float64s): Parquet cannot round-trip a
+#: fixed_size_list column holding nulls (the pair rows)
+def _emb_schema(dim: int) -> pa.Schema:
+    return pa.schema([
+        ("kind", pa.int8()),
+        ("tb", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("vec", pa.binary(dim * 8)),
+        ("vec_a", pa.int64()),
+        ("vec_b", pa.int64()),
+        ("cos", pa.float64()),
+    ])
+
+
+def embedding_pairs_epoch(
+    embeddings: ray.data.Dataset,
+    state_root: str,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 10,
+    num_tables: int = 8,
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch of embeddings into lake-resident hyperplane-LSH
+    state; after any number of folds, :func:`read_embedding_pairs` equals
+    batch ``dedup_embedding_pairs`` on the union of all folded epochs, row
+    for row (same per-bucket star rule anchored at the min vec_id, same
+    f64 cosine rounded to 6 decimals before the threshold, same
+    cross-table max-dedup). Touched (table, bucket) groups are recomputed
+    IN FULL from their member sets, so an arriving vec_id smaller than a
+    group's stored anchor re-anchors that group's star exactly as batch
+    would — no watermark or arrival-order assumption, and re-delivery is
+    idempotent (members dedupe on (tb, vec_id))."""
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import HyperplaneBucket
+    from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+        MAX_FOLD_ROWS,
+    )
+    from kafka_connect_jdbc_flatten_ray.functions.hashing import _splitmix64
+    from kafka_connect_jdbc_flatten_ray.util import fsl_to_numpy
+
+    manifest = TableManifest(state_root, EMB_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
+    part = (m or {}).get("partitioning") or {}
+    for name, val in (("threshold", float(threshold)), ("dim", int(dim)),
+                      ("num_planes", int(num_planes)),
+                      ("num_tables", int(num_tables))):
+        stored = part.get(name)
+        if stored is not None and type(val)(stored) != val:
+            raise ValueError(
+                f"state at {state_root} was built with {name}={stored}; "
+                f"folding at {name}={val} would be wrong — use a fresh "
+                "state root"
+            )
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
+    schema = _emb_schema(dim)
+
+    def _tb_bucket(t: pa.Table) -> pa.Table:
+        tb = (t.column("table_id").to_numpy(zero_copy_only=False).astype(np.int64)
+              << np.int64(32)) | t.column("bucket").to_numpy(
+                  zero_copy_only=False).astype(np.int64)
+        hh = _splitmix64(tb.view(np.uint64))
+        return pa.table({
+            "tb": pa.array(tb),
+            "vec_id": t.column("vec_id"),
+            "vec": t.column("vec"),
+            "__bucket": pa.array(
+                (hh % np.uint64(num_buckets)).astype(np.int32)),
+        })
+
+    def _blob(mat: np.ndarray) -> pa.FixedSizeBinaryArray:
+        raw = mat.astype("<f8").tobytes()
+        return pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim * 8), mat.shape[0], [None, pa.py_buffer(raw)]
+        )
+
+    def _mat(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.frombuffer(
+            col.buffers()[1], "<f8", count=len(col) * dim,
+            offset=col.offset * dim * 8,
+        ).reshape(len(col), dim)
+
+    def _fold(g: pa.Table) -> pa.Table:
+        bucket = int(g.column("__bucket")[0].as_py())
+        _guard_fold(g.num_rows, "embedding_pairs_epoch", num_buckets,
+                    fold_limit)
+        out_dir = fsx.join(root, EMB_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        touched = np.unique(g.column("tb").to_numpy(zero_copy_only=False))
+        state, writer, carried = _split_prior_state(
+            fs, prior.get(bucket), "tb", touched, schema, staged
+        )
+        new_members = pa.table({
+            "tb": g.column("tb"),
+            "vec_id": g.column("vec_id"),
+            "vec": _blob(fsl_to_numpy(g.column("vec"), np.float64)),
+        })
+        if state is not None:
+            stored = state.filter(pc.equal(state.column("kind"), 0)) \
+                .select(["tb", "vec_id", "vec"])
+            members = pa.concat_tables([stored, new_members]).combine_chunks()
+        else:
+            members = new_members
+        _guard_fold(members.num_rows, "embedding_pairs_epoch(members)",
+                    num_buckets, fold_limit)
+        tb = members.column("tb").to_numpy(zero_copy_only=False)
+        vid = members.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, tb))
+        keep = np.ones(len(order), bool)
+        keep[1:] = ~((tb[order][1:] == tb[order][:-1])
+                     & (vid[order][1:] == vid[order][:-1]))
+        members = members.take(pa.array(order[keep]))
+        # star pairs for EVERY touched group at once: members arrive
+        # (tb, vec_id)-sorted from the dedupe take, so bucket heads are
+        # run starts and one batched row-wise dot scores the whole fold
+        tb = members.column("tb").to_numpy(zero_copy_only=False)
+        vid = members.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _mat(members.column("vec"))
+        new_grp = np.concatenate(([True], tb[1:] != tb[:-1]))
+        head_pos = np.flatnonzero(new_grp)
+        head_of = head_pos[np.cumsum(new_grp) - 1]
+        member_mask = ~new_grp
+        n_pairs = 0
+        pair_tbl = None
+        if member_mask.any():
+            cos = np.einsum(
+                "ij,ij->i", mat[member_mask], mat[head_of[member_mask]]
+            ).round(6)
+            sel = cos >= threshold
+            n_pairs = int(sel.sum())
+            if n_pairs:
+                pair_tbl = pa.table({
+                    "kind": pa.array(np.ones(n_pairs, np.int8)),
+                    "tb": pa.array(tb[member_mask][sel]),
+                    "vec_id": pa.nulls(n_pairs, pa.int64()),
+                    "vec": pa.nulls(n_pairs, pa.binary(dim * 8)),
+                    "vec_a": pa.array(vid[head_of[member_mask]][sel]),
+                    "vec_b": pa.array(vid[member_mask][sel]),
+                    "cos": pa.array(cos[sel]),
+                })
+        n_members = members.num_rows
+        out_members = pa.table({
+            "kind": pa.array(np.zeros(n_members, np.int8)),
+            "tb": members.column("tb"),
+            "vec_id": members.column("vec_id"),
+            "vec": members.column("vec"),
+            "vec_a": pa.nulls(n_members, pa.int64()),
+            "vec_b": pa.nulls(n_members, pa.int64()),
+            "cos": pa.nulls(n_members, pa.float64()),
+        })
+        writer.write_table(out_members.cast(schema))
+        if pair_tbl is not None:
+            writer.write_table(pair_tbl.cast(schema))
+        writer.close()
+        fsx.publish_file(fs, staged, state_path)
+        return pa.table({
+            "bucket": [bucket],
+            "state_path": [state_path],
+            "members": [n_members],
+            "pairs": [n_pairs],
+            "carried_rows": [carried],
+            "epoch_rows": [g.num_rows],
+        })
+
+    _fold.__name__ = "emb_lsh_fold"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            embeddings.map_batches(
+                HyperplaneBucket(dim, num_planes, num_tables),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(_tb_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
+    totals = {k: int(sum(r[k] for r in stats))
+              for k in ("members", "pairs", "epoch_rows")}
+    manifest.publish(
+        epoch, bucket_files, totals,
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": ["tb"],
+                      "hash_version": 2, "threshold": float(threshold),
+                      "dim": int(dim), "num_planes": int(num_planes),
+                      "num_tables": int(num_tables)},
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "buckets": len(bucket_files), **totals}
+
+
+def read_embedding_pairs(state_root: str) -> ray.data.Dataset:
+    """All near-duplicate embedding pairs over every epoch folded so far —
+    row-for-row equal to batch ``dedup_embedding_pairs`` on the union of
+    the folded vector sets (cross-table/bucket dedup via max(cos); the
+    cosines of duplicate pairs agree, so max is a pure dedup)."""
+    manifest = TableManifest(state_root, EMB_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+    ds = read_parquet_clean(
+        files, filesystem=fs, columns=["kind", "vec_a", "vec_b", "cos"]
+    )
+
+    def _only_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 1))
+        return t.select(["vec_a", "vec_b", "cos"])
+
+    return (
+        ds.map_batches(_only_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["vec_a", "vec_b"]).max("cos")
+        .map_batches(
+            lambda t: t.rename_columns(["vec_a", "vec_b", "cos"]),
+            batch_format="pyarrow",
+        )
+    )

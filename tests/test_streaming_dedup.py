@@ -210,3 +210,92 @@ class TestIncrementalMinHash:
             sd.minhash_pairs_epoch(
                 ray.data.from_arrow(docs([2], ["a b d"])), root, threshold=0.4
             )
+
+
+class TestIncrementalEmbeddingDedup:
+    DIM = 16
+
+    def _vecs(self, seed=11, n_base=60, n_dup=8):
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((n_base, self.DIM))
+        vecs = np.vstack([base,
+                          base[:n_dup] + rng.standard_normal(
+                              (n_dup, self.DIM)) * 0.02])
+        return vecs, np.arange(len(vecs), dtype=np.int64)
+
+    def _tbl(self, vecs, ids, mask):
+        sub = vecs[mask]
+        return pa.table({
+            "vec_id": pa.array(ids[mask]),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(sub.reshape(-1)), self.DIM),
+        })
+
+    def _batch_pairs(self, vecs, ids, threshold=0.8):
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+            dedup_embedding_pairs,
+        )
+
+        full = ray.data.from_arrow(
+            self._tbl(vecs, ids, np.ones(len(ids), bool)))
+        return dedup_embedding_pairs(full, self.DIM, threshold=threshold) \
+            .to_pandas().sort_values(["vec_a", "vec_b"]) \
+            .reset_index(drop=True)
+
+    def test_shuffled_epochs_and_redelivery_equal_batch(
+        self, ray_session, tmp_path
+    ):
+        vecs, ids = self._vecs()
+        root = str(tmp_path / "emb")
+        for p in (2, 0, 1, 0):  # out of order + epoch 0 re-delivered
+            sd.embedding_pairs_epoch(
+                ray.data.from_arrow(self._tbl(vecs, ids, ids % 3 == p)),
+                root, self.DIM, threshold=0.8)
+        inc = sd.read_embedding_pairs(root).to_pandas() \
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        batch = self._batch_pairs(vecs, ids)
+        assert batch.equals(inc)
+        assert list(inc.dtypes.astype(str)) == ["int64", "int64", "float64"]
+
+    def test_smaller_vec_id_reanchors_star(self, ray_session, tmp_path):
+        """A later-arriving smaller vec_id must become the star anchor of
+        its bucket, exactly as batch would have made it."""
+        vecs, _ = self._vecs(seed=12, n_base=20, n_dup=6)
+        ids = np.arange(10, 10 + len(vecs), dtype=np.int64)
+        ids[0] = 1  # the future anchor: a LOW id folded LAST
+        root = str(tmp_path / "emb")
+        late = np.zeros(len(ids), bool)
+        late[0] = True
+        sd.embedding_pairs_epoch(
+            ray.data.from_arrow(self._tbl(vecs, ids, ~late)),
+            root, self.DIM, threshold=0.8)
+        sd.embedding_pairs_epoch(
+            ray.data.from_arrow(self._tbl(vecs, ids, late)),
+            root, self.DIM, threshold=0.8)
+        inc = sd.read_embedding_pairs(root).to_pandas() \
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        batch = self._batch_pairs(vecs, ids)
+        assert batch.equals(inc)
+
+    def test_param_mismatch_refused(self, ray_session, tmp_path):
+        vecs, ids = self._vecs(n_base=10, n_dup=0)
+        root = str(tmp_path / "emb")
+        ds = ray.data.from_arrow(self._tbl(vecs, ids, ids % 2 == 0))
+        sd.embedding_pairs_epoch(ds, root, self.DIM, threshold=0.8)
+        with pytest.raises(ValueError, match="threshold"):
+            sd.embedding_pairs_epoch(ds, root, self.DIM, threshold=0.5)
+        with pytest.raises(ValueError, match="num_planes"):
+            sd.embedding_pairs_epoch(ds, root, self.DIM, threshold=0.8,
+                                     num_planes=6)
+
+    def test_manifest_lineage(self, ray_session, tmp_path):
+        vecs, ids = self._vecs(n_base=12, n_dup=2)
+        root = str(tmp_path / "emb")
+        r0 = sd.embedding_pairs_epoch(
+            ray.data.from_arrow(self._tbl(vecs, ids, ids % 2 == 0)),
+            root, self.DIM, threshold=0.8)
+        r1 = sd.embedding_pairs_epoch(
+            ray.data.from_arrow(self._tbl(vecs, ids, ids % 2 == 1)),
+            root, self.DIM, threshold=0.8)
+        assert (r0["epoch"], r1["epoch"]) == (0, 1)
+        assert r1["members"] >= r0["members"]
