@@ -138,7 +138,8 @@ def run_queries() -> dict:
     for name in ["dedup_exact", "chunk_docs", "dedup_minhash_pairs",
                  "model_quality_scores", "ann_cosine_topk",
                  "semantic_dedup_keep", "dedup_exact_incremental",
-                 "repetition_stats"]:
+                 "repetition_stats", "value_quantiles",
+                 "contamination_check"]:
         t0 = time.perf_counter()
         ds = dqs[name](SF_DIR)
         if hasattr(ds, "count"):

@@ -759,3 +759,22 @@ def read_embedding_pairs(state_root: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def reshard_embedding_state(state_root: str, new_num_buckets: int) -> dict:
+    """Re-bucket the hyperplane-LSH state when (table, bucket) group
+    population outgrows its layout. Member and pair rows both carry their
+    ``tb`` key, so whole star groups move together — applies the same
+    splitmix64(tb) finalizer the fold path uses."""
+    from kafka_connect_jdbc_flatten_ray.stages.state_reshard import (
+        reshard_splitmix_state,
+    )
+
+    manifest = TableManifest(state_root, EMB_TABLE)
+    m = manifest.load()
+    if not m:
+        raise ValueError(f"no {EMB_TABLE} manifest at {state_root}")
+    dim = int((m.get("partitioning") or {})["dim"])
+    return reshard_splitmix_state(
+        state_root, EMB_TABLE, "tb", _emb_schema(dim), new_num_buckets
+    )

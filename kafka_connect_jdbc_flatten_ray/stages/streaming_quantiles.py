@@ -193,3 +193,16 @@ def quantiles_from_state(
 
     return quantiles_exact(read_value_counts(state_root), "value", qs,
                            weight="count")
+
+
+def reshard_state(state_root: str, new_num_buckets: int) -> dict:
+    """Re-bucket the counted-multiset state when the distinct-value
+    population outgrows its layout (the fold guard trips). Applies the
+    same splitmix64(vbits) finalizer the fold path uses."""
+    from kafka_connect_jdbc_flatten_ray.stages.state_reshard import (
+        reshard_splitmix_state,
+    )
+
+    return reshard_splitmix_state(
+        state_root, STATE_TABLE, "vbits", _ST_SCHEMA, new_num_buckets
+    )

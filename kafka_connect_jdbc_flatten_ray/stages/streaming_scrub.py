@@ -239,3 +239,16 @@ def contamination_check_incremental(
         _doc_rows, batch_format="pyarrow", zero_copy_batch=True
     ).union(bench)
     return _exchange_and_count(tagged, docs)
+
+
+def reshard_state(state_root: str, new_num_buckets: int) -> dict:
+    """Re-bucket the n-gram registry when the benchmark hash population
+    outgrows its layout. The bloom sidecar is bucket-agnostic (one global
+    bitset) and carries through the manifest partitioning unchanged."""
+    from kafka_connect_jdbc_flatten_ray.stages.state_reshard import (
+        reshard_splitmix_state,
+    )
+
+    return reshard_splitmix_state(
+        state_root, STATE_TABLE, "h", _ST_SCHEMA, new_num_buckets
+    )

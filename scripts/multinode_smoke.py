@@ -135,6 +135,65 @@ def main() -> None:
                       "equal": inc_pairs == n_pairs,
                       "sec": round(time.perf_counter() - t0, 1)}))
     assert inc_pairs == n_pairs, "incremental LSH diverged"
+
+    # incremental quantiles + contamination + embedding near-dup: the
+    # round-4 state family, folded across the virtual cluster the same
+    # way (fold tasks on any node, prior state streamed back)
+    from kafka_connect_jdbc_flatten_ray.stages import (
+        scrub,
+        streaming_quantiles as sq,
+        streaming_scrub as ssc,
+    )
+    from kafka_connect_jdbc_flatten_ray.stages.quantiles import quantiles_exact
+
+    qroot = tempfile.mkdtemp(prefix="multinode_qstate_")
+    ev_vals = pq2.read_table(f"{args.sf_dir}/events.parquet",
+                             columns=["value"])
+    vhalf = ev_vals.num_rows // 2
+    t0 = time.perf_counter()
+    sq.value_counts_epoch(rd.from_arrow(ev_vals.slice(0, vhalf)), qroot, "value")
+    sq.value_counts_epoch(rd.from_arrow(ev_vals.slice(vhalf)), qroot, "value")
+    inc_q = sq.quantiles_from_state(qroot)
+    batch_q = quantiles_exact(rd.from_arrow(ev_vals), "value")
+    print(json.dumps({"incremental_quantiles": inc_q["value"].tolist(),
+                      "equal": bool(inc_q.equals(batch_q)),
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_q.equals(batch_q), "incremental quantiles diverged"
+
+    croot = tempfile.mkdtemp(prefix="multinode_contamstate_")
+    bt = dt.slice(0, max(dt.num_rows // 10, 8))
+    bhalf = bt.num_rows // 2
+    t0 = time.perf_counter()
+    ssc.benchmark_ngrams_epoch(rd.from_arrow(bt.slice(0, bhalf)), croot, n=8)
+    ssc.benchmark_ngrams_epoch(rd.from_arrow(bt.slice(bhalf)), croot, n=8)
+    inc_c = ssc.contamination_check_incremental(rd.from_arrow(dt), croot)
+    inc_hits = int(inc_c.sum("ngram_hits"))
+    batch_hits = int(scrub.contamination_check_distributed(
+        rd.from_arrow(dt), rd.from_arrow(bt), n=8).sum("ngram_hits"))
+    print(json.dumps({"incremental_contam_hits": inc_hits,
+                      "batch_contam_hits": batch_hits,
+                      "equal": inc_hits == batch_hits,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_hits == batch_hits, "incremental contamination diverged"
+
+    et = pq2.read_table(f"{args.sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    dim = len(et.column("embedding")[0])
+    eroot = tempfile.mkdtemp(prefix="multinode_embstate_")
+    ehalf = et.num_rows // 2
+    t0 = time.perf_counter()
+    sd.embedding_pairs_epoch(rd.from_arrow(et.slice(0, ehalf)), eroot, dim,
+                             threshold=0.35)
+    sd.embedding_pairs_epoch(rd.from_arrow(et.slice(ehalf)), eroot, dim,
+                             threshold=0.35)
+    inc_ep = sd.read_embedding_pairs(eroot).count()
+    batch_ep = dedup.dedup_embedding_pairs(rd.from_arrow(et), dim,
+                                           threshold=0.35).count()
+    print(json.dumps({"incremental_emb_pairs": inc_ep,
+                      "batch_emb_pairs": batch_ep,
+                      "equal": inc_ep == batch_ep,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_ep == batch_ep, "incremental embedding dedup diverged"
     ray.shutdown()
     cluster.shutdown()
 
