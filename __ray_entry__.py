@@ -52,6 +52,7 @@ _ORDER_R4 = [
     "contamination_check",
     "contamination_incremental",
     "dedup_embedding_incremental",
+    "top_terms_incremental",
 ]
 
 

@@ -597,6 +597,38 @@ def top_terms_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     return counts.groupby("lang").map_groups(arrowize(_topk), batch_format="pandas")
 
 
+def top_terms_incremental(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Streaming counterpart to top_terms_per_lang: fold the corpus in
+    three epochs through a lake-resident (lang, token, count) multiset,
+    then top-k over the state — addition is commutative, so any epoch
+    split gives the batch answer and the query shares the batch SQL
+    oracle verbatim."""
+    import tempfile
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_terms as st
+
+    root = tempfile.mkdtemp(prefix="kcjf_term_state_")
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"term_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        st.term_counts_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root,
+        )
+    return st.top_terms_from_state(root, k)
+
+
 ORACLE_TOP_TERMS = """
 WITH t AS (
   SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
@@ -631,6 +663,7 @@ def relational_queries() -> dict:
         "user_trailing_incremental": user_trailing_incremental,
         "stratified_sample_docs": stratified_sample_docs,
         "top_terms_per_lang": top_terms_per_lang,
+        "top_terms_incremental": top_terms_incremental,
     }
 
 
@@ -655,4 +688,7 @@ def relational_oracles() -> dict:
         "user_trailing_incremental": ORACLE_USER_TRAILING_HOUR,
         "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,
         "top_terms_per_lang": ORACLE_TOP_TERMS,
+        # counted-multiset folds are order-independent sums: top-k over
+        # the state ranks exactly like the batch pass
+        "top_terms_incremental": ORACLE_TOP_TERMS,
     }

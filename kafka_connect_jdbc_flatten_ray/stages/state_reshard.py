@@ -35,6 +35,21 @@ from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
 from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
 
 
+def reshard_modulo_state(
+    state_root: str,
+    table: str,
+    key_col: str,
+    schema: pa.Schema,
+    new_num_buckets: int,
+) -> dict:
+    """Raw ``key_col % N`` re-bucketing — for states whose key column is
+    ALREADY a finalized uniform hash (the term state's stable_row_hash
+    routing column). Applying splitmix again would probe the wrong file
+    on the next fold."""
+    return _reshard(state_root, table, key_col, schema, new_num_buckets,
+                    finalize=False)
+
+
 def reshard_splitmix_state(
     state_root: str,
     table: str,
@@ -47,6 +62,18 @@ def reshard_splitmix_state(
     fold path uses. Distributed (one write task per new bucket), and the
     commit is the same CAS-claimed manifest swap as a fold epoch, so a
     concurrent fold and a reshard cannot interleave."""
+    return _reshard(state_root, table, key_col, schema, new_num_buckets,
+                    finalize=True)
+
+
+def _reshard(
+    state_root: str,
+    table: str,
+    key_col: str,
+    schema: pa.Schema,
+    new_num_buckets: int,
+    finalize: bool,
+) -> dict:
     manifest = TableManifest(state_root, table)
     m = manifest.load()
     if not m:
@@ -60,7 +87,9 @@ def reshard_splitmix_state(
         if "bucket" in t.schema.names:  # hive partition col from the read
             t = t.drop_columns(["bucket"])
         k = t.column(key_col).to_numpy(zero_copy_only=False)
-        h = _splitmix64(k.view(np.uint64))
+        h = k.view(np.uint64)
+        if finalize:
+            h = _splitmix64(h)
         return t.append_column(
             "__bucket",
             pa.array((h % np.uint64(new_num_buckets)).astype(np.int32)),

@@ -1,0 +1,223 @@
+"""Incremental (epoch-at-a-time) grouped term counts with lake-resident
+counted-multiset state, and the top-k read over them.
+
+Batch ``top_terms_per_lang`` (pipelines/relational.py) rescans the whole
+corpus per run; a streaming ingest should fold ONLY the new epoch's
+documents into counts it already holds:
+
+    term_state/bucket=N/epoch-M.parquet  one row per distinct
+                                         (lang, token): gh int64 (the
+                                         routing hash), lang, token,
+                                         count
+    term_state/manifest.json             buckets -> current state file,
+                                         epochs -> lineage
+
+``term_counts_epoch`` pre-aggregates each epoch batch to (lang, token,
+count) partials BEFORE the shuffle (the per-batch combiner), routes rows
+by ``stable_row_hash(lang, token) % N`` (the engine's hash_version-2
+bucket hash — deterministic across processes, so every epoch's fold and
+every reshard probe the same file for a given term), and one fold task
+per touched bucket streams that bucket's prior state. The in-fold merge
+groups on the REAL (lang, token) columns, so a routing-hash collision
+can never merge two different terms. Addition is commutative and
+associative: epochs fold in any order, and ``top_terms_from_state``
+equals batch ``top_terms_per_lang`` on the union of all folded epochs —
+it shares that query's SQL oracle verbatim.
+
+State size is bounded by the number of DISTINCT (group, term) pairs
+(Heaps'-law sublinear in corpus size), each row ~30 bytes of bucketed
+lake state that no task ever materializes in full.
+
+Reference parity: the reference engine has no term-count analogue; this
+is the builder's-brief LLM-data-pipeline surface — the streaming
+counterpart to ``top_terms_per_lang`` exactly as ``value_counts_epoch``
+is to ``value_quantiles``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.functions.hashing import stable_row_hash
+from kafka_connect_jdbc_flatten_ray.state import fs as fsx
+from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+    _guard_fold,
+    _split_prior_state,
+    _stored_num_buckets,
+)
+from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
+
+STATE_TABLE = "term_state"
+
+_ST_SCHEMA = pa.schema([
+    ("gh", pa.int64()),
+    ("lang", pa.string()),
+    ("token", pa.string()),
+    ("count", pa.int64()),
+])
+
+
+def _term_count_partial(t: pa.Table, group: str, text: str) -> pa.Table:
+    """Per-batch combiner: whitespace-token counts per (group, token) —
+    the shuffle then moves at most one row per distinct term per batch."""
+    txt = t.column(text)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern(txt, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    g = t.column(group).to_numpy(zero_copy_only=False)
+    rep = pa.table({"lang": pa.array(np.repeat(g, lens)),
+                    "token": pc.list_flatten(toks)})
+    agg = pa.TableGroupBy(rep, ["lang", "token"]).aggregate([("token", "count")])
+    agg = agg.rename_columns(["lang", "token", "count"])
+    gh = stable_row_hash(agg, ("lang", "token")).view(np.int64)
+    return pa.table({
+        "gh": pa.array(gh),
+        "lang": agg.column("lang"),
+        "token": agg.column("token"),
+        "count": pc.cast(agg.column("count"), pa.int64()),
+    })
+
+
+def term_counts_epoch(
+    docs: ray.data.Dataset,
+    state_root: str,
+    group: str = "lang",
+    text: str = "text",
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch of documents into the lake-resident term counts.
+    Distributed: only (gh, lang, token, count) partials shuffle (never
+    document text), one fold task per touched bucket, prior state
+    streamed, commit is a CAS-claimed manifest swap."""
+    from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+        MAX_FOLD_ROWS,
+    )
+
+    manifest = TableManifest(state_root, STATE_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        gh = t.column("gh").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "__bucket", pa.array((gh % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        bucket = int(g.column("__bucket")[0].as_py())
+        g = g.drop_columns(["__bucket"])
+        _guard_fold(g.num_rows, "term_counts_epoch", num_buckets, fold_limit)
+        out_dir = fsx.join(root, STATE_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        touched = np.unique(g.column("gh").to_numpy(zero_copy_only=False))
+        state, writer, carried = _split_prior_state(
+            fs, prior.get(bucket), "gh", touched, _ST_SCHEMA, staged
+        )
+        stored_rows = 0
+        if state is not None and state.num_rows:
+            both = pa.concat_tables([state.select(_ST_SCHEMA.names),
+                                     g.select(_ST_SCHEMA.names)])
+            stored_rows = state.num_rows
+        else:
+            both = g.select(_ST_SCHEMA.names)
+        # merge on the REAL columns (gh only routes; collisions must not
+        # merge distinct terms), summing stored + epoch multiplicities
+        agg = pa.TableGroupBy(both, ["gh", "lang", "token"]).aggregate(
+            [("count", "sum")]
+        ).rename_columns(["gh", "lang", "token", "count"])
+        out = pa.table({
+            "gh": agg.column("gh"),
+            "lang": agg.column("lang"),
+            "token": agg.column("token"),
+            "count": pc.cast(agg.column("count"), pa.int64()),
+        })
+        writer.write_table(out.cast(_ST_SCHEMA))
+        writer.close()
+        fsx.publish_file(fs, staged, state_path)
+        return pa.table({
+            "bucket": [bucket],
+            "state_path": [state_path],
+            "terms": [out.num_rows + carried],
+            "new_terms": [out.num_rows - stored_rows],
+            "epoch_tokens": [int(pc.sum(g.column("count")).as_py())],
+        })
+
+    _fold.__name__ = "term_fold"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            docs.map_batches(lambda t: _term_count_partial(t, group, text),
+                             batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
+    totals = {k: int(sum(r[k] for r in stats))
+              for k in ("terms", "new_terms", "epoch_tokens")}
+    manifest.publish(
+        epoch, bucket_files, totals,
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": ["gh"],
+                      "hash_version": 2, "group": group},
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "buckets": len(bucket_files), **totals}
+
+
+def read_term_counts(state_root: str) -> ray.data.Dataset:
+    """Exact (lang, token, count) totals over every epoch folded so far
+    — one row per distinct term (a term lives in exactly one bucket)."""
+    manifest = TableManifest(state_root, STATE_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+    return read_parquet_clean(
+        files, filesystem=fs, columns=["lang", "token", "count"]
+    )
+
+
+def top_terms_from_state(state_root: str, k: int = 5) -> ray.data.Dataset:
+    """Top-k terms per group over the folded state — row-for-row equal to
+    batch ``top_terms_per_lang`` on the union of the folded epochs (same
+    count-desc, token-asc tie-break)."""
+    from kafka_connect_jdbc_flatten_ray.util import arrowize
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"count": "n"})
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g[["lang", "rank", "token", "n"]]
+
+    _topk.__name__ = "lang_topk_state"
+    return read_term_counts(state_root).groupby("lang").map_groups(
+        arrowize(_topk), batch_format="pandas"
+    )
+
+
+def reshard_state(state_root: str, new_num_buckets: int) -> dict:
+    """Re-bucket the term state when the vocabulary outgrows its layout.
+    The routing hash is already splitmix-finalized (stable_row_hash), so
+    the re-bucketer applies the raw modulo the fold path uses."""
+    from kafka_connect_jdbc_flatten_ray.stages.state_reshard import (
+        reshard_modulo_state,
+    )
+
+    return reshard_modulo_state(
+        state_root, STATE_TABLE, "gh", _ST_SCHEMA, new_num_buckets
+    )

@@ -1,0 +1,129 @@
+"""Incremental grouped term counts: counted-multiset epoch folds must
+make the top-k read equal batch top_terms_per_lang over the union of the
+folded inputs, in any arrival order, across a reshard, and despite
+routing-hash collisions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kafka_connect_jdbc_flatten_ray.stages import streaming_terms as st
+
+
+def _docs(ids, langs, texts):
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def _corpus(seed=5, n=90):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(40)]
+    langs = rng.choice(["en", "de", "fr"], n)
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(n)]
+    return _docs(np.arange(n), langs, texts)
+
+
+def _batch_topk(tbl, k=5):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", tbl.to_pandas())
+    return con.sql(f"""
+        WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+        c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY lang, token)
+        SELECT lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, token) AS BIGINT)
+                 AS rank,
+               token, CAST(n AS BIGINT) AS n
+        FROM c QUALIFY rank <= {k}
+        ORDER BY lang, rank
+    """).df().reset_index(drop=True)
+
+
+def _inc_topk(root, k=5):
+    return st.top_terms_from_state(str(root), k).to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+def _fold_thirds(tbl, root, order=(0, 1, 2)):
+    ids = tbl.column("doc_id").to_numpy()
+    for p in order:
+        st.term_counts_epoch(
+            ray.data.from_arrow(tbl.filter(pa.array(ids % 3 == p))),
+            str(root))
+
+
+class TestStreamingTerms:
+    def test_three_epochs_equal_batch(self, ray_session, tmp_path):
+        tbl = _corpus()
+        _fold_thirds(tbl, tmp_path / "lake")
+        assert _inc_topk(tmp_path / "lake").equals(_batch_topk(tbl))
+
+    def test_epoch_order_does_not_matter(self, ray_session, tmp_path):
+        tbl = _corpus(6)
+        _fold_thirds(tbl, tmp_path / "a", (0, 1, 2))
+        _fold_thirds(tbl, tmp_path / "b", (2, 0, 1))
+        assert _inc_topk(tmp_path / "a").equals(_inc_topk(tmp_path / "b"))
+
+    def test_reshard_then_fold(self, ray_session, tmp_path):
+        tbl = _corpus(7)
+        ids = tbl.column("doc_id").to_numpy()
+        root = tmp_path / "lake"
+        st.term_counts_epoch(
+            ray.data.from_arrow(tbl.filter(pa.array(ids % 2 == 0))),
+            str(root), num_buckets=4)
+        st.reshard_state(str(root), 16)
+        st.term_counts_epoch(
+            ray.data.from_arrow(tbl.filter(pa.array(ids % 2 == 1))),
+            str(root))
+        assert _inc_topk(root).equals(_batch_topk(tbl))
+
+    def test_counts_accumulate(self, ray_session, tmp_path):
+        tbl = _corpus(8, 30)
+        root = str(tmp_path / "lake")
+        st.term_counts_epoch(ray.data.from_arrow(tbl), root)
+        st.term_counts_epoch(ray.data.from_arrow(tbl), root)
+        total = int(st.read_term_counts(root).sum("count"))
+        expect = 2 * sum(len(s.split(" "))
+                         for s in tbl.column("text").to_pylist())
+        assert total == expect
+
+    def test_hash_collision_does_not_merge_terms(self, ray_session,
+                                                 tmp_path, monkeypatch):
+        # force EVERY term onto one routing hash: distinct (lang, token)
+        # rows must still stay separate because the fold groups on the
+        # real columns
+        from kafka_connect_jdbc_flatten_ray.stages import streaming_terms
+
+        monkeypatch.setattr(
+            streaming_terms, "stable_row_hash",
+            lambda tbl, cols: np.full(tbl.num_rows, 7, np.uint64))
+        tbl = _docs([0, 1], ["en", "de"], ["aa bb aa", "aa cc"])
+        root = str(tmp_path / "lake")
+        st.term_counts_epoch(ray.data.from_arrow(tbl), root)
+        got = st.read_term_counts(root).to_pandas() \
+            .sort_values(["lang", "token"]).reset_index(drop=True)
+        assert list(map(tuple, got.to_records(index=False))) == [
+            ("de", "aa", 1), ("de", "cc", 1), ("en", "aa", 2), ("en", "bb", 1),
+        ]
+
+    def test_fold_guard_trips_and_claim_released(self, ray_session, tmp_path,
+                                                 monkeypatch):
+        from kafka_connect_jdbc_flatten_ray.stages import streaming_windows
+
+        monkeypatch.setattr(streaming_windows, "MAX_FOLD_ROWS", 5)
+        root = str(tmp_path / "lake")
+        with pytest.raises(Exception, match="term_counts_epoch"):
+            st.term_counts_epoch(ray.data.from_arrow(_corpus(9)), root,
+                                 num_buckets=1)
+        monkeypatch.setattr(streaming_windows, "MAX_FOLD_ROWS", 10_000_000)
+        r = st.term_counts_epoch(
+            ray.data.from_arrow(_docs([0], ["en"], ["aa bb"])), root,
+            num_buckets=1)
+        assert r["epoch"] == 0 and r["epoch_tokens"] == 2
