@@ -53,6 +53,7 @@ _ORDER_R4 = [
     "contamination_incremental",
     "dedup_embedding_incremental",
     "top_terms_incremental",
+    "ann_topk_ivf_incremental",
 ]
 
 

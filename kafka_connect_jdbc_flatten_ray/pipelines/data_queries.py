@@ -621,6 +621,43 @@ def q_ann_ivf_kmeans(sf_dir: str):
     return ann.ann_topk_ivf(sf_dir, k=5, num_queries=8, train=True)
 
 
+def q_ann_ivf_incremental(sf_dir: str):
+    """Streaming IVF: pin the coarse centroids at index creation (the
+    FAISS train-once/add-forever contract), fold the vectors in three
+    epochs into lake-resident postings (one bucket per centroid), then
+    probe — given the same centroids the probe equals batch ann_topk_ivf,
+    so the query shares its SQL oracle verbatim."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_ann as sa
+
+    root = tempfile.mkdtemp(prefix="kcjf_ivf_index_")
+    cents = ann.ivf_centroids(sf_dir, 16)
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"ivf_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        sa.ivf_index_epoch(
+            emb.map_batches(_part(part), batch_format="pyarrow",
+                            zero_copy_batch=True),
+            root, cents if part == 0 else None,
+        )
+    q_ids, q_mat = ann.load_queries(sf_dir, 8)
+    return sa.probe_topk(root, q_ids, q_mat, k=5, nprobe=4)
+
+
 def _media_ds(sf_dir: str, kind: str) -> ray.data.Dataset:
     """Deterministic fake media synthesized from documents (see
     stages/multimodal.py — codecs are stubbed, plumbing is real)."""
@@ -775,6 +812,7 @@ def data_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "ann_cosine_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
+        "ann_topk_ivf_incremental": q_ann_ivf_incremental,
         "ann_topk_ivf_kmeans": q_ann_ivf_kmeans,
         "media_image_decode": q_media_decode,
         "media_video_frames": q_video_frames,
@@ -862,6 +900,10 @@ def data_oracles() -> dict:
         "dedup_embedding_incremental": dedup_oracles.embedding_pairs_sql(0.35, 64),
         # IVF with the SQL-stated centroid-sample rule is exactly checkable
         "ann_topk_ivf": dedup_oracles.ivf_topk_sql(),
+        # pinned centroids + postings folded epoch-at-a-time: the probe
+        # equals the batch IVF search, so the incremental index shares
+        # its oracle
+        "ann_topk_ivf_incremental": dedup_oracles.ivf_topk_sql(),
         "semantic_dedup_keep": dedup_oracles.semantic_dedup_sql(0.35),
         "value_quantiles": ORACLE_QUANTILES,
         # counted-multiset folds are order-independent sums: the weighted

@@ -299,3 +299,93 @@ class TestIncrementalEmbeddingDedup:
             root, self.DIM, threshold=0.8)
         assert (r0["epoch"], r1["epoch"]) == (0, 1)
         assert r1["members"] >= r0["members"]
+
+
+class TestIncrementalIVFIndex:
+    DIM = 16
+
+    def _emb(self, n=100, seed=3):
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, self.DIM))
+        ids = np.arange(n, dtype=np.int64)
+        return vecs, ids
+
+    def _tbl(self, vecs, ids, mask):
+        sub = vecs[mask]
+        return pa.table({
+            "vec_id": pa.array(ids[mask]),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(sub.reshape(-1).astype(np.float64)), self.DIM),
+        })
+
+    def _cents(self, vecs):
+        from kafka_connect_jdbc_flatten_ray.stages.ann import _unit
+
+        return _unit(vecs[:8].astype(np.float32).astype(np.float64))
+
+    def test_shuffled_epochs_and_redelivery_match_single_fold(
+        self, ray_session, tmp_path
+    ):
+        from kafka_connect_jdbc_flatten_ray.stages import streaming_ann as sa
+        from kafka_connect_jdbc_flatten_ray.stages.ann import _unit
+
+        vecs, ids = self._emb()
+        cents = self._cents(vecs)
+        roots = []
+        for name, order in (("a", [(0, 1, 2), None]),
+                            ("b", [(2, 0, 1, 0), None])):
+            root = str(tmp_path / name)
+            for p in order[0]:
+                sa.ivf_index_epoch(
+                    ray.data.from_arrow(self._tbl(vecs, ids, ids % 3 == p)),
+                    root, cents if len(roots) == 0 or p == order[0][0] else None)
+            roots.append(root)
+        q_ids = ids[:4]
+        q_mat = _unit(vecs[:4].astype(np.float32))
+        outs = [
+            sa.probe_topk(r, q_ids, q_mat, k=3, nprobe=3).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+            for r in roots
+        ]
+        assert outs[0].equals(outs[1])
+        assert len(outs[0]) == 4 * 3
+
+    def test_centroid_mismatch_refused(self, ray_session, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages import streaming_ann as sa
+
+        vecs, ids = self._emb(30)
+        root = str(tmp_path / "ivf")
+        sa.ivf_index_epoch(
+            ray.data.from_arrow(self._tbl(vecs, ids, ids % 2 == 0)),
+            root, self._cents(vecs))
+        other = self._cents(vecs[5:])
+        with pytest.raises(ValueError, match="centroids"):
+            sa.ivf_index_epoch(
+                ray.data.from_arrow(self._tbl(vecs, ids, ids % 2 == 1)),
+                root, other)
+        with pytest.raises(ValueError, match="required"):
+            sa.ivf_index_epoch(
+                ray.data.from_arrow(self._tbl(vecs, ids, ids % 2 == 1)),
+                str(tmp_path / "fresh"), None)
+
+    def test_probe_reads_only_probed_buckets(self, ray_session, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages import streaming_ann as sa
+        from kafka_connect_jdbc_flatten_ray.stages.ann import _unit
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+
+        vecs, ids = self._emb(80)
+        cents = self._cents(vecs)
+        root = str(tmp_path / "ivf")
+        sa.ivf_index_epoch(
+            ray.data.from_arrow(self._tbl(vecs, ids, np.ones(len(ids), bool))),
+            root, cents)
+        files = TableManifest(root, sa.STATE_TABLE).current_files()
+        assert len(files) >= 4  # postings spread over several centroids
+        q_mat = _unit(vecs[:2].astype(np.float32))
+        out = sa.probe_topk(root, ids[:2], q_mat, k=3, nprobe=1).to_pandas()
+        # nprobe=1: each query's hits all come from ONE centroid's postings
+        probe = (q_mat @ cents.T).argmax(axis=1)
+        assign = (_unit(vecs.astype(np.float32)) @ cents.T).argmax(axis=1)
+        for qi, q in enumerate(ids[:2]):
+            hit_ids = out[out.query_id == q].vec_id.to_numpy()
+            assert set(assign[hit_ids]) == {probe[qi]}
