@@ -54,6 +54,7 @@ _ORDER_R4 = [
     "dedup_embedding_incremental",
     "top_terms_incremental",
     "ann_topk_ivf_incremental",
+    "stratified_sample_incremental",
 ]
 
 

@@ -597,6 +597,39 @@ def top_terms_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     return counts.groupby("lang").map_groups(arrowize(_topk), batch_format="pandas")
 
 
+def stratified_sample_incremental(sf_dir: str, per_group: int = 3):
+    """Streaming counterpart to stratified_sample_docs: fold the corpus
+    in three epochs through a lake-resident per-group min-k state (at
+    most k rows per group — the smallest state family), then read the
+    sample — min-k of a union is min-k of the per-part min-ks, so any
+    epoch split gives the batch answer and the query shares its SQL
+    oracle verbatim."""
+    import tempfile
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_sample as ssm
+
+    root = tempfile.mkdtemp(prefix="kcjf_sample_state_")
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"sample_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        ssm.sample_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root, per_group=per_group,
+        )
+    return ssm.read_sample(root)
+
+
 def top_terms_incremental(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     """Streaming counterpart to top_terms_per_lang: fold the corpus in
     three epochs through a lake-resident (lang, token, count) multiset,
@@ -664,6 +697,7 @@ def relational_queries() -> dict:
         "stratified_sample_docs": stratified_sample_docs,
         "top_terms_per_lang": top_terms_per_lang,
         "top_terms_incremental": top_terms_incremental,
+        "stratified_sample_incremental": stratified_sample_incremental,
     }
 
 
@@ -691,4 +725,6 @@ def relational_oracles() -> dict:
         # counted-multiset folds are order-independent sums: top-k over
         # the state ranks exactly like the batch pass
         "top_terms_incremental": ORACLE_TOP_TERMS,
+        # min-k folds are order-independent: the state read IS the sample
+        "stratified_sample_incremental": ORACLE_STRATIFIED_SAMPLE,
     }
