@@ -194,6 +194,55 @@ def main() -> None:
                       "equal": inc_ep == batch_ep,
                       "sec": round(time.perf_counter() - t0, 1)}))
     assert inc_ep == batch_ep, "incremental embedding dedup diverged"
+
+    # term counts, stratified sample and the IVF postings index: the
+    # remaining round-4 state families, folded across the virtual cluster
+    from kafka_connect_jdbc_flatten_ray.stages import (
+        ann as ann_mod,
+        streaming_ann as san,
+        streaming_sample as ssm,
+        streaming_terms as stm,
+    )
+
+    dt_full = pq2.read_table(f"{args.sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+    troot = tempfile.mkdtemp(prefix="multinode_termstate_")
+    t0 = time.perf_counter()
+    stm.term_counts_epoch(rd.from_arrow(dt_full.slice(0, half)), troot)
+    stm.term_counts_epoch(rd.from_arrow(dt_full.slice(half)), troot)
+    inc_terms = int(stm.read_term_counts(troot).sum("count"))
+    batch_terms = sum(len(s.split(" "))
+                      for s in dt_full.column("text").to_pylist())
+    print(json.dumps({"incremental_token_total": inc_terms,
+                      "batch_token_total": batch_terms,
+                      "equal": inc_terms == batch_terms,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_terms == batch_terms, "incremental term counts diverged"
+
+    sroot = tempfile.mkdtemp(prefix="multinode_samplestate_")
+    ssm.sample_epoch(rd.from_arrow(dt_full.slice(0, half)), sroot)
+    ssm.sample_epoch(rd.from_arrow(dt_full.slice(half)), sroot)
+    n_langs = len(set(dt_full.column("lang").to_pylist()))
+    inc_sample = ssm.read_sample(sroot).count()
+    print(json.dumps({"incremental_sample_rows": inc_sample,
+                      "expected": 3 * n_langs,
+                      "equal": inc_sample == 3 * n_langs}))
+    assert inc_sample == 3 * n_langs, "incremental sample diverged"
+
+    iroot = tempfile.mkdtemp(prefix="multinode_ivfstate_")
+    cents = ann_mod.ivf_centroids(args.sf_dir, 16)
+    t0 = time.perf_counter()
+    san.ivf_index_epoch(rd.from_arrow(et.slice(0, ehalf)), iroot, cents)
+    san.ivf_index_epoch(rd.from_arrow(et.slice(ehalf)), iroot)
+    q_ids, q_mat = ann_mod.load_queries(args.sf_dir, 8)
+    inc_ann = san.probe_topk(iroot, q_ids, q_mat, k=5, nprobe=4) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    batch_ann = ann_mod.ann_topk_ivf(args.sf_dir, k=5, num_queries=8) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    print(json.dumps({"incremental_ann_rows": len(inc_ann),
+                      "equal": bool(inc_ann.equals(batch_ann)),
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_ann.equals(batch_ann), "incremental IVF probe diverged"
     ray.shutdown()
     cluster.shutdown()
 
