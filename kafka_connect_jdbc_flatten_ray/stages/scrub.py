@@ -303,17 +303,25 @@ def _exchange_and_count(
                          "hits": pa.array(counts.astype(np.int64))})
 
     def _shard(t: pa.Table) -> pa.Table:
+        # 64 shards matches the dedup family (NUM_LSH_SHARDS): enough
+        # groups to spread any node count, few enough that small inputs
+        # don't drown in per-group task overhead
         h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
         return t.append_column(
-            "shard", pa.array((h % np.uint64(256)).astype(np.int32))
+            "shard", pa.array((h % np.uint64(64)).astype(np.int32))
         )
 
+    # _mark emits per-doc PARTIAL counts per shard; one union with the
+    # zero rows and a single groupby-sum finishes the job (an extra
+    # per-doc aggregate before the union would be a redundant all-to-all)
     hits = (
         tagged.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
         .map_groups(_mark, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("hits", alias_name="ngram_hits"))
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "ngram_hits"]),
+            batch_format="pyarrow",
+        )
     )
     # attach zero-hit docs via the empty-block-safe union+groupby pattern
     zeros = docs.map_batches(
