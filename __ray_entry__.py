@@ -55,6 +55,7 @@ _ORDER_R4 = [
     "top_terms_incremental",
     "ann_topk_ivf_incremental",
     "stratified_sample_incremental",
+    "tfidf_top_terms",
 ]
 
 

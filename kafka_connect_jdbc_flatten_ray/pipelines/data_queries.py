@@ -150,6 +150,35 @@ def q_dedup_embedding_incremental(sf_dir: str):
     return sd.read_embedding_pairs(root)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document, scored tf * ln(N/df) rounded to 6
+    decimals before ranking; df attaches via the union+groupby trick (no
+    vocabulary broadcast — 8-byte-ish exchange rows, never text)."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.stages.textops import tfidf_top_terms
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tfidf_top_terms(_docs(sf_dir), n, k=3)
+
+
+ORACLE_TFIDF = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+      FROM tf CROSS JOIN n JOIN df USING (token))
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS BIGINT) AS rank,
+       token, score
+FROM s QUALIFY rank <= 3
+"""
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(
         textops.TokenCount(), batch_format="pyarrow", zero_copy_batch=True
@@ -799,6 +828,7 @@ def data_queries() -> dict:
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "token_count": q_token_count,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
@@ -864,6 +894,7 @@ def data_oracles() -> dict:
         "dedup_exact_incremental": ORACLE_DEDUP_EXACT,
         "repetition_stats": ORACLE_REPETITION,
         "token_count": ORACLE_TOKEN_COUNT,
+        "tfidf_top_terms": ORACLE_TFIDF,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,

@@ -1,6 +1,8 @@
-"""Text-analysis operator tests (pure Arrow, no Ray)."""
+"""Text-analysis operator tests (pure Arrow except TF-IDF)."""
 
+import numpy as np
 import pyarrow as pa
+import ray.data
 
 from kafka_connect_jdbc_flatten_ray.stages.textops import (
     Fingerprint,
@@ -94,3 +96,58 @@ class TestRepetitionStats:
             "doc_id", "n_tokens", "n_distinct_tokens",
             "n_bigrams", "top_bigram_count",
         ]
+
+
+class TestTfidf:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            tfidf_top_terms,
+        )
+
+        rng = np.random.default_rng(4)
+        words = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(words, 15)) for _ in range(50)]
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "text": pa.array(texts),
+        })
+        got = tfidf_top_terms(ray.data.from_arrow(tbl), 50, k=3) \
+            .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", tbl.to_pandas())
+        odf = con.sql("""
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+                       AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.token,
+                         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6)
+                           AS score
+                  FROM tf CROSS JOIN n JOIN df USING (token))
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token) AS BIGINT) AS rank,
+                   token, score
+            FROM s QUALIFY rank <= 3
+            ORDER BY doc_id, rank
+        """).df().reset_index(drop=True)
+        assert got.equals(odf)
+
+    def test_common_term_scores_zero(self, ray_session):
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            tfidf_top_terms,
+        )
+
+        # 'the' appears in EVERY doc -> idf = ln(1) = 0; unique terms win
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["the alpha", "the beta", "the gamma"]),
+        })
+        got = tfidf_top_terms(ray.data.from_arrow(tbl), 3, k=1).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.token.tolist() == ["alpha", "beta", "gamma"]
+        assert (got.score > 0).all()
