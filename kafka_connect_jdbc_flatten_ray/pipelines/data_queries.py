@@ -179,6 +179,30 @@ FROM s QUALIFY rank <= 3
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label mean-pooled embedding (class prototypes), long format —
+    each batch pre-reduces to one (label, sum, count) row per label, so
+    the exchange carries dim-sized partials, never vectors."""
+    from kafka_connect_jdbc_flatten_ray.stages.kmeans import (
+        group_mean_embeddings,
+    )
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return group_mean_embeddings(emb)
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH e AS (SELECT label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(avg(CAST(v AS DOUBLE)), 6) AS mean_val
+FROM e GROUP BY label, dim
+"""
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(
         textops.TokenCount(), batch_format="pyarrow", zero_copy_batch=True
@@ -829,6 +853,7 @@ def data_queries() -> dict:
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "token_count": q_token_count,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
@@ -895,6 +920,7 @@ def data_oracles() -> dict:
         "repetition_stats": ORACLE_REPETITION,
         "token_count": ORACLE_TOKEN_COUNT,
         "tfidf_top_terms": ORACLE_TFIDF,
+        "label_centroids": ORACLE_LABEL_CENTROIDS,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,

@@ -115,3 +115,49 @@ def kmeans_fit(
         )
         cents = _unit_rows(new)
     return cents, history
+
+
+def group_mean_embeddings(
+    embeddings: ray.data.Dataset, group: str = "label"
+) -> ray.data.Dataset:
+    """Per-group mean-pooled embedding (class centroids / label
+    prototypes), long format (group, dim, mean_val) with mean_val rounded
+    to 6 decimals — scalar rows the driver's hash compare and a SQL
+    oracle can both express.
+
+    100 TB shape: each batch pre-reduces to one (group, sum_vec, count)
+    row per group (the combiner), so the exchange carries dim*8-byte
+    partials per (group, batch), never vectors; the final fold is one
+    tiny map_groups per group."""
+    from kafka_connect_jdbc_flatten_ray.util import fsl_to_numpy
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.column(group).to_numpy(zero_copy_only=False)
+        m = fsl_to_numpy(t.column("embedding"), np.float64)
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "group": pa.array(uniq.astype(np.int64)),
+            "sum_vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1)), m.shape[1]),
+            "n": pa.array(counts),
+        })
+
+    def _finish(t: pa.Table) -> pa.Table:
+        grp = int(t.column("group")[0].as_py())
+        sums = fsl_to_numpy(t.column("sum_vec"), np.float64).sum(axis=0)
+        n = int(t.column("n").to_numpy(zero_copy_only=False).sum())
+        mean = np.round(sums / n, 6)
+        dim = len(mean)
+        return pa.table({
+            "label": pa.array(np.full(dim, grp, np.int64)),
+            "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+            "mean_val": pa.array(mean, pa.float64()),
+        })
+
+    _finish.__name__ = "centroid_finish"
+    return embeddings.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("group").map_groups(_finish, batch_format="pyarrow")

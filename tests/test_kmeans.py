@@ -46,3 +46,32 @@ class TestKMeans:
         )
         assert out.num_rows <= 4
         assert set(out.column_names) == {"cid", "count", "vsum", "sim_sum"}
+
+
+class TestGroupMeanEmbeddings:
+    def test_matches_numpy_reference(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.kmeans import (
+            group_mean_embeddings,
+        )
+
+        rng = np.random.default_rng(9)
+        dim, n = 8, 200
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        labels = rng.integers(0, 5, n).astype(np.int32)
+        tbl = pa.table({
+            "label": pa.array(labels),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), dim),
+        })
+        got = group_mean_embeddings(ray.data.from_arrow(tbl)).to_pandas() \
+            .sort_values(["label", "dim"]).reset_index(drop=True)
+        for lbl in np.unique(labels):
+            expect = np.round(
+                vecs[labels == lbl].astype(np.float64).mean(axis=0), 6)
+            sub = got[got.label == lbl].sort_values("dim")
+            assert np.array_equal(sub.mean_val.to_numpy(), expect)
+        assert len(got) == 5 * dim
