@@ -56,6 +56,7 @@ _ORDER_R4 = [
     "ann_topk_ivf_incremental",
     "stratified_sample_incremental",
     "tfidf_top_terms",
+    "tfidf_incremental",
     "label_centroids",
 ]
 

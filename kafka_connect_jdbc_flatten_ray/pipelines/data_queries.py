@@ -179,6 +179,38 @@ FROM s QUALIFY rank <= 3
 """
 
 
+def q_tfidf_incremental(sf_dir: str):
+    """Streaming TF-IDF: fold the corpus statistics (per-token document
+    frequency + running N) in three epochs through lake-resident df
+    state, then score the corpus against the accumulated statistics —
+    addition is commutative, so the result equals batch tfidf_top_terms
+    and shares its SQL oracle verbatim."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_terms as st
+
+    root = tempfile.mkdtemp(prefix="kcjf_df_state_")
+    ds = _docs(sf_dir)
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"df_epoch_part_{part}"
+        return _f
+
+    for part in range(3):
+        st.df_counts_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root,
+        )
+    return st.tfidf_from_state(_docs(sf_dir), root, k=3)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label mean-pooled embedding (class prototypes), long format —
     each batch pre-reduces to one (label, sum, count) row per label, so
@@ -853,6 +885,7 @@ def data_queries() -> dict:
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "token_count": q_token_count,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "tfidf_incremental": q_tfidf_incremental,
         "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
@@ -920,6 +953,10 @@ def data_oracles() -> dict:
         "repetition_stats": ORACLE_REPETITION,
         "token_count": ORACLE_TOKEN_COUNT,
         "tfidf_top_terms": ORACLE_TFIDF,
+        # df-state folds are order-independent sums and N rides the
+        # manifest lineage: rescoring against the accumulated statistics
+        # equals the batch pass
+        "tfidf_incremental": ORACLE_TFIDF,
         "label_centroids": ORACLE_LABEL_CENTROIDS,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,

@@ -221,3 +221,200 @@ def reshard_state(state_root: str, new_num_buckets: int) -> dict:
     return reshard_modulo_state(
         state_root, STATE_TABLE, "gh", _ST_SCHEMA, new_num_buckets
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental document frequency (the TF-IDF corpus statistic)
+# ---------------------------------------------------------------------------
+
+DF_TABLE = "df_state"
+
+_DF_SCHEMA = pa.schema([
+    ("gh", pa.int64()),
+    ("token", pa.string()),
+    ("df", pa.int64()),
+])
+
+
+def df_counts_epoch(
+    docs: ray.data.Dataset,
+    state_root: str,
+    text: str = "text",
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch of documents into the lake-resident document
+    frequencies (distinct docs containing each token) and the running
+    corpus size N — the statistics TF-IDF scoring needs. Each batch
+    pre-reduces to one (token, df_part) row per distinct token (a doc is
+    one input row, so its distinct-token set never spans batches), rows
+    route by ``stable_row_hash(token) % N``, folds merge on the real
+    token column (collision-safe) and sum df. Addition is commutative:
+    epochs fold in any order, and :func:`tfidf_from_state` equals batch
+    ``tfidf_top_terms`` over the union of the folded epochs."""
+    from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+        MAX_FOLD_ROWS,
+    )
+
+    manifest = TableManifest(state_root, DF_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        txt = t.column(text)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        rep = pa.table({"doc": pa.array(doc_idx),
+                        "token": pc.list_flatten(toks)})
+        # distinct (doc, token), then df_part = docs per token
+        dd = pa.TableGroupBy(rep, ["doc", "token"]).aggregate([])
+        agg = pa.TableGroupBy(dd, ["token"]).aggregate(
+            [("token", "count")]
+        ).rename_columns(["token", "df"])
+        gh = stable_row_hash(agg, ("token",)).view(np.int64)
+        out = pa.table({
+            "gh": pa.array(gh),
+            "token": agg.column("token"),
+            "df": pc.cast(agg.column("df"), pa.int64()),
+        })
+        vb = gh.view(np.uint64)
+        return out.append_column(
+            "__bucket", pa.array((vb % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        bucket = int(g.column("__bucket")[0].as_py())
+        g = g.drop_columns(["__bucket"])
+        _guard_fold(g.num_rows, "df_counts_epoch", num_buckets, fold_limit)
+        out_dir = fsx.join(root, DF_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        touched = np.unique(g.column("gh").to_numpy(zero_copy_only=False))
+        state, writer, carried = _split_prior_state(
+            fs, prior.get(bucket), "gh", touched, _DF_SCHEMA, staged
+        )
+        both = g.select(_DF_SCHEMA.names)
+        if state is not None and state.num_rows:
+            both = pa.concat_tables([state.select(_DF_SCHEMA.names), both])
+        agg = pa.TableGroupBy(both, ["gh", "token"]).aggregate(
+            [("df", "sum")]
+        ).rename_columns(["gh", "token", "df"])
+        out = pa.table({
+            "gh": agg.column("gh"),
+            "token": agg.column("token"),
+            "df": pc.cast(agg.column("df"), pa.int64()),
+        })
+        writer.write_table(out.cast(_DF_SCHEMA))
+        writer.close()
+        fsx.publish_file(fs, staged, state_path)
+        return pa.table({
+            "bucket": [bucket],
+            "state_path": [state_path],
+            "tokens": [out.num_rows + carried],
+        })
+
+    _fold.__name__ = "df_fold"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        n_docs = docs.count()  # the running-N contribution (cheap pass)
+        stats = (
+            docs.map_batches(_df_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
+    totals = {"tokens": int(sum(r["tokens"] for r in stats)),
+              "docs": int(n_docs)}
+    manifest.publish(
+        epoch, bucket_files, totals,
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": ["gh"],
+                      "hash_version": 2},
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "buckets": len(bucket_files), **totals}
+
+
+def corpus_docs_total(state_root: str) -> int:
+    """Running corpus size N = sum of every folded epoch's doc count
+    (recorded in the manifest lineage — no data read)."""
+    m = TableManifest(state_root, DF_TABLE).load()
+    if not m:
+        raise ValueError(f"no {DF_TABLE} manifest at {state_root}")
+    return int(sum(e.get("docs", 0) for e in m["epochs"]))
+
+
+def tfidf_from_state(
+    docs: ray.data.Dataset, state_root: str, k: int = 3
+) -> ray.data.Dataset:
+    """Score documents against the ACCUMULATED df/N statistics — equal to
+    batch ``tfidf_top_terms`` over the union of the folded epochs when
+    ``docs`` is that union (same union+groupby df attach, no vocabulary
+    broadcast, same 6-decimal rounding and rank rule)."""
+    from kafka_connect_jdbc_flatten_ray.stages.textops import (
+        _doc_topk_fn,
+        _tf_rows,
+    )
+
+    total_docs = corpus_docs_total(state_root)
+    manifest = TableManifest(state_root, DF_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+
+    def _df_rows(t: pa.Table) -> pa.Table:
+        if "bucket" in t.schema.names:
+            t = t.drop_columns(["bucket"])
+        n = t.num_rows
+        return pa.table({
+            "token": t.column("token"),
+            "doc_id": pa.array(np.full(n, -1, np.int64)),
+            "tf": pc.multiply(t.column("df"), -1),  # df rides as -df
+        })
+
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    dfr = read_parquet_clean(files, filesystem=fs,
+                             columns=["token", "df"]).map_batches(
+        _df_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _attach(g: pa.Table) -> pa.Table:
+        tfv = g.column("tf").to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        is_df = did == -1
+        if not is_df.any() or is_df.all():
+            # token absent from state (possible only if docs != folded
+            # union) -> undefined idf; emit nothing rather than guess
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        n_df = int(-tfv[is_df].sum())
+        sel = ~is_df
+        score = np.round(
+            tfv[sel].astype(np.float64) * np.log(float(total_docs) / n_df), 6
+        )
+        tok = g.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        return pa.table({
+            "doc_id": pa.array(did[sel]),
+            "token": tok.filter(pa.array(sel)),
+            "score": pa.array(score, pa.float64()),
+        })
+
+    scored = tf.union(dfr).groupby("token").map_groups(
+        _attach, batch_format="pyarrow"
+    )
+    return scored.groupby("doc_id").map_groups(
+        _doc_topk_fn(k), batch_format="pyarrow"
+    )

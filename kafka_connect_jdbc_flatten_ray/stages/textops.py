@@ -236,63 +236,33 @@ class Fingerprint:
         )
 
 
-def tfidf_top_terms(
-    docs: ray.data.Dataset, total_docs: int, k: int = 3
-) -> ray.data.Dataset:
-    """Top-k TF-IDF terms per document: score = tf * ln(N / df), rounded
-    to 6 decimals BEFORE ranking (ties break token-ascending) so the
-    value — and the borderline keep/drop decision — is oracle-comparable.
+def _tf_rows(t: pa.Table) -> pa.Table:
+    """Per-batch TF combiner: one (token, doc_id, tf) row per distinct
+    (doc, token) pair (a doc is one input row, so its tokens never span
+    batches — tf is exact, not partial)."""
+    text = t.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    rep = pa.table({
+        "doc_id": pa.array(np.repeat(ids, lens)),
+        "token": pc.list_flatten(toks),
+    })
+    agg = pa.TableGroupBy(rep, ["doc_id", "token"]).aggregate(
+        [("token", "count")]
+    ).rename_columns(["doc_id", "token", "tf"])
+    return pa.table({
+        "token": agg.column("token"),
+        "doc_id": agg.column("doc_id"),
+        "tf": pc.cast(agg.column("tf"), pa.int64()),
+    })
 
-    100 TB shape: no vocabulary broadcast. Per-batch term counts are the
-    combiner (one (doc, token, tf) row per distinct pair per batch; df
-    partials ride the same rows), df attaches via the union + groupby
-    trick the slim dedup family uses (each token's rows meet in one
-    group; the exchange carries 8-byte-ish rows, never text bodies), and
-    the final per-doc top-k is a second groupby. ``total_docs`` is the
-    corpus size N (a count the caller already has — requiring it keeps
-    this function one pass instead of two).
-    """
-    from ray.data.aggregate import Sum
 
-    def _tf_rows(t: pa.Table) -> pa.Table:
-        text = t.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern(text, " ")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        rep = pa.table({
-            "doc_id": pa.array(np.repeat(ids, lens)),
-            "token": pc.list_flatten(toks),
-        })
-        agg = pa.TableGroupBy(rep, ["doc_id", "token"]).aggregate(
-            [("token", "count")]
-        ).rename_columns(["doc_id", "token", "tf"])
-        return pa.table({
-            "token": agg.column("token"),
-            "doc_id": agg.column("doc_id"),
-            "tf": pc.cast(agg.column("tf"), pa.int64()),
-        })
-
-    tf = docs.map_batches(_tf_rows, batch_format="pyarrow",
-                          zero_copy_batch=True)
-
-    def _attach_idf(g: pa.Table) -> pa.Table:
-        """One token's (doc_id, tf) rows: df = number of rows (each doc
-        contributes exactly one row per token), idf computed in place."""
-        tok = g.column("token")
-        n_df = g.num_rows
-        tfv = g.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        score = np.round(tfv * np.log(float(total_docs) / n_df), 6)
-        return pa.table({
-            "doc_id": g.column("doc_id"),
-            "token": tok,
-            "score": pa.array(score, pa.float64()),
-        })
-
-    scored = tf.groupby("token").map_groups(
-        _attach_idf, batch_format="pyarrow"
-    )
+def _doc_topk_fn(k: int):
+    """Per-doc top-k by (score desc, token asc) — the shared rank rule of
+    the batch and incremental TF-IDF paths."""
 
     def _doc_topk(g: pa.Table) -> pa.Table:
         sc = g.column("score").to_numpy(zero_copy_only=False)
@@ -318,6 +288,44 @@ def tfidf_top_terms(
             "score": out.column("score"),
         })
 
+    return _doc_topk
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset, total_docs: int, k: int = 3
+) -> ray.data.Dataset:
+    """Top-k TF-IDF terms per document: score = tf * ln(N / df), rounded
+    to 6 decimals BEFORE ranking (ties break token-ascending) so the
+    value — and the borderline keep/drop decision — is oracle-comparable.
+
+    100 TB shape: no vocabulary broadcast. Per-batch term counts are the
+    combiner (one (doc, token, tf) row per distinct pair per batch; df
+    partials ride the same rows), df attaches via the union + groupby
+    trick the slim dedup family uses (each token's rows meet in one
+    group; the exchange carries 8-byte-ish rows, never text bodies), and
+    the final per-doc top-k is a second groupby. ``total_docs`` is the
+    corpus size N (a count the caller already has — requiring it keeps
+    this function one pass instead of two).
+    """
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def _attach_idf(g: pa.Table) -> pa.Table:
+        """One token's (doc_id, tf) rows: df = number of rows (each doc
+        contributes exactly one row per token), idf computed in place."""
+        tok = g.column("token")
+        n_df = g.num_rows
+        tfv = g.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tfv * np.log(float(total_docs) / n_df), 6)
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "token": tok,
+            "score": pa.array(score, pa.float64()),
+        })
+
+    scored = tf.groupby("token").map_groups(
+        _attach_idf, batch_format="pyarrow"
+    )
     return scored.groupby("doc_id").map_groups(
-        _doc_topk, batch_format="pyarrow"
+        _doc_topk_fn(k), batch_format="pyarrow"
     )

@@ -127,3 +127,48 @@ class TestStreamingTerms:
             ray.data.from_arrow(_docs([0], ["en"], ["aa bb"])), root,
             num_buckets=1)
         assert r["epoch"] == 0 and r["epoch_tokens"] == 2
+
+
+class TestStreamingTfidf:
+    def _tbl(self, seed=11, n=60):
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(25)]
+        return _docs(np.arange(n),
+                     ["en"] * n,
+                     [" ".join(rng.choice(words, 10)) for _ in range(n)]
+                     ).select(["doc_id", "text"])
+
+    def test_three_epochs_equal_batch(self, ray_session, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            tfidf_top_terms,
+        )
+
+        tbl = self._tbl()
+        ids = tbl.column("doc_id").to_numpy()
+        root = str(tmp_path / "df")
+        for p in (2, 0, 1):
+            st.df_counts_epoch(
+                ray.data.from_arrow(tbl.filter(pa.array(ids % 3 == p))), root)
+        assert st.corpus_docs_total(root) == tbl.num_rows
+        inc = st.tfidf_from_state(ray.data.from_arrow(tbl), root, k=3) \
+            .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        batch = tfidf_top_terms(ray.data.from_arrow(tbl), tbl.num_rows, k=3) \
+            .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        assert inc.equals(batch)
+
+    def test_df_accumulates_across_epochs(self, ray_session, tmp_path):
+        root = str(tmp_path / "df")
+        a = _docs([0, 1], ["en", "en"], ["aa bb", "aa"]).select(
+            ["doc_id", "text"])
+        b = _docs([2], ["en"], ["aa cc"]).select(["doc_id", "text"])
+        st.df_counts_epoch(ray.data.from_arrow(a), root)
+        st.df_counts_epoch(ray.data.from_arrow(b), root)
+        assert st.corpus_docs_total(root) == 3
+        from kafka_connect_jdbc_flatten_ray.state.manifest import TableManifest
+        from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
+
+        files = sorted(TableManifest(root, st.DF_TABLE)
+                       .current_files().values())
+        df = read_parquet_clean(files).to_pandas() \
+            .set_index("token")["df"].to_dict()
+        assert df == {"aa": 3, "bb": 1, "cc": 1}
