@@ -697,7 +697,11 @@ def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
     fs, root = fsx.resolve(lake_root)
     if not fsx.exists(fs, root):
         return removed
-    pat = re.compile(r"epoch-(\d+)(\.delta)?\.parquet$")
+    # .parquet covers lake/state buckets; .bin covers the contamination
+    # registry's bloom sidecar (contam_state/bloom/epoch-N.bin) — the
+    # incremental state tables share the lake's layout, so one vacuum
+    # serves both
+    pat = re.compile(r"epoch-(\d+)(\.delta)?\.(parquet|bin)$")
     for tinfo in fsx.listdir(fs, root):
         table = tinfo.base_name
         manifest = TableManifest(lake_root, table)
@@ -707,6 +711,9 @@ def vacuum(lake_root: str, keep_epochs: int = 2) -> dict[str, int]:
         referenced = set(m["buckets"].values())
         for ps in (m.get("deltas") or {}).values():
             referenced.update(ps)
+        part = m.get("partitioning") or {}
+        if part.get("bloom_path"):
+            referenced.add(part["bloom_path"])
         cutoff = m["epoch"] - keep_epochs + 1
         n = 0
         tdir = fsx.join(root, table)

@@ -118,3 +118,46 @@ class TestStreamingContamination:
         expect = _ngram_hash_array(
             bench.column("text").to_pylist(), n=8).view(np.int64)
         assert np.array_equal(np.sort(h), np.sort(expect))
+
+
+class TestStateVacuum:
+    def test_vacuum_prunes_state_history_and_keeps_current(
+        self, ray_session, tmp_path
+    ):
+        import glob
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.ingest import vacuum
+        from kafka_connect_jdbc_flatten_ray.stages import (
+            streaming_quantiles as sq,
+        )
+        from kafka_connect_jdbc_flatten_ray.stages.quantiles import (
+            quantiles_exact,
+        )
+
+        root = str(tmp_path / "lake")
+        docs, bench = _corpus()
+        rng = np.random.default_rng(3)
+        vals = rng.normal(0, 5, 2000)
+        for p in range(3):
+            sub = vals[np.arange(len(vals)) % 3 == p]
+            sq.value_counts_epoch(
+                ray.data.from_arrow(pa.table({"value": pa.array(sub)})),
+                root, "value", num_buckets=4)
+        for lo, hi in [(0, 8), (8, 16), (16, 24)]:
+            ss.benchmark_ngrams_epoch(_slice(bench, lo, hi), root, n=8,
+                                      num_buckets=4)
+        removed = vacuum(root, keep_epochs=1)
+        assert removed["quantile_state"] > 0
+        assert removed["contam_state"] > 0
+        # the current bloom sidecar survives; older blobs are gone
+        blooms = glob.glob(f"{root}/contam_state/bloom/epoch-*.bin")
+        assert len(blooms) == 1
+        # reads stay exact after the prune
+        inc = sq.quantiles_from_state(root)
+        batch = quantiles_exact(
+            ray.data.from_arrow(pa.table({"value": pa.array(vals)})), "value")
+        assert inc.equals(batch)
+        got = _sorted(ss.contamination_check_incremental(docs, root))
+        want = _sorted(scrub.contamination_check_distributed(
+            docs, ray.data.from_arrow(bench), n=8))
+        assert got.equals(want)
