@@ -34,7 +34,11 @@ import pyarrow as pa
 import ray.data
 
 NUM_BINS = 8192
-MAX_COLLECT = 5_000_000  # loud bound on driver-side rank-bin collection
+#: loud bound on driver-side rank-bin collection, counted in ROWS that
+#: pass 3 would actually ship (in the weighted/counted-multiset path one
+#: row per DISTINCT value, not per multiplicity — a single value with a
+#: billion-count state row collects as ONE row)
+MAX_COLLECT = 5_000_000
 
 
 def _vals_weights(
@@ -67,9 +71,18 @@ def _hist_partial(
 ) -> pa.Table:
     v, w = _vals_weights(batch, column, weight)
     idx = np.clip(((v - lo) / width).astype(np.int64), 0, NUM_BINS - 1)
-    counts = np.bincount(idx, weights=w.astype(np.float64), minlength=NUM_BINS)
-    return pa.table({"counts": pa.array([counts.astype(np.int64)],
-                                        pa.list_(pa.int64(), NUM_BINS))})
+    # rows per bin (what pass 3 would collect); exact int64 either way
+    rows = np.bincount(idx, minlength=NUM_BINS).astype(np.int64)
+    if weight is None:
+        counts = rows  # all-ones weights: multiplicity == row count
+    else:
+        # int64 accumulation (a float64-weighted bincount silently loses
+        # exactness past 2^53 occurrences per bin)
+        counts = np.zeros(NUM_BINS, np.int64)
+        np.add.at(counts, idx, w)
+    kind = pa.list_(pa.int64(), NUM_BINS)
+    return pa.table({"counts": pa.array([counts], kind),
+                     "rows": pa.array([rows], kind)})
 
 
 def quantiles_exact(
@@ -107,8 +120,10 @@ def quantiles_exact(
         batch_format="pyarrow", zero_copy_batch=True,
     )
     counts = np.zeros(NUM_BINS, np.int64)
+    rows_hist = np.zeros(NUM_BINS, np.int64)
     for b in parts.iter_batches(batch_format="pyarrow"):
         counts += fsl_to_numpy(b.column("counts"), np.int64).sum(axis=0)
+        rows_hist += fsl_to_numpy(b.column("rows"), np.int64).sum(axis=0)
     cum = np.cumsum(counts)
 
     # which bins hold the requested ranks, and how many values precede them
@@ -116,10 +131,13 @@ def quantiles_exact(
     for q, r in ranks.items():
         b = int(np.searchsorted(cum, r, side="left"))
         need_bins[b] = int(cum[b - 1]) if b else 0
-    if sum(counts[b] for b in need_bins) > MAX_COLLECT:
+    # bound on what pass 3 SHIPS: rows, not multiplicities — the weighted
+    # (counted-multiset) path collects one row per distinct value, so an
+    # already-pre-aggregated heavy duplicate never trips the guard
+    if sum(rows_hist[b] for b in need_bins) > MAX_COLLECT:
         raise ValueError(
-            f"rank bins hold > {MAX_COLLECT} values (heavy duplication); "
-            "raise MAX_COLLECT or pre-aggregate duplicates"
+            f"rank bins hold > {MAX_COLLECT} rows (heavy duplication); "
+            "raise MAX_COLLECT or pre-aggregate duplicates (weight=)"
         )
 
     # pass 3: collect only the rank bins' values

@@ -74,6 +74,10 @@ def _reshard(
     new_num_buckets: int,
     finalize: bool,
 ) -> dict:
+    from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+        MAX_FOLD_ROWS,
+    )
+
     manifest = TableManifest(state_root, table)
     m = manifest.load()
     if not m:
@@ -82,6 +86,9 @@ def _reshard(
     nonce = manifest.claim_epoch(epoch)
     fs, root = fsx.resolve(state_root)
     files = sorted(manifest.current_files().values())
+    # captured driver-side so the bound travels with the closure (see
+    # streaming_windows._guard_fold)
+    write_limit = MAX_FOLD_ROWS
 
     def _rebucket(t: pa.Table) -> pa.Table:
         if "bucket" in t.schema.names:  # hive partition col from the read
@@ -97,6 +104,16 @@ def _reshard(
 
     def _write(t: pa.Table) -> pa.Table:
         bucket = int(t.column("__bucket")[0].as_py())
+        if t.num_rows > write_limit:
+            # a reshard is triggered precisely when state outgrew its
+            # layout — an undersized target must fail loudly, not OOM the
+            # one task that materializes the destination bucket
+            raise ValueError(
+                f"reshard_state({table}): destination bucket {bucket} "
+                f"would hold {t.num_rows} rows (> {write_limit}) at "
+                f"new_num_buckets={new_num_buckets}; pick a larger "
+                "new_num_buckets"
+            )
         out_dir = fsx.join(root, table, f"bucket={bucket:05d}")
         fsx.makedirs(fs, out_dir)
         path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")

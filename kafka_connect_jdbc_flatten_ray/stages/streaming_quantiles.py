@@ -113,20 +113,21 @@ def value_counts_epoch(
             fs, prior.get(bucket), "vbits", touched, _ST_SCHEMA, staged
         )
         # sum epoch partials with the touched stored rows (pure numpy:
-        # factorize via the sorted unique array, then one bincount)
+        # factorize via the sorted unique array, then int64 scatter-adds —
+        # a float64-weighted bincount would silently lose exactness past
+        # 2^53 occurrences per value, breaking the "exact" contract)
         idx = np.searchsorted(touched, vb)
-        sums = np.bincount(idx, weights=cnt.astype(np.float64),
-                           minlength=len(touched))
+        sums = np.zeros(len(touched), np.int64)
+        np.add.at(sums, idx, cnt)
         stored_rows = 0
         if state is not None and state.num_rows:
             svb = state.column("vbits").to_numpy(zero_copy_only=False)
             scnt = state.column("count").to_numpy(zero_copy_only=False)
             sidx = np.searchsorted(touched, svb)
-            sums += np.bincount(sidx, weights=scnt.astype(np.float64),
-                                minlength=len(touched))
+            np.add.at(sums, sidx, scnt)
             stored_rows = state.num_rows
         out = pa.table({"vbits": pa.array(touched, pa.int64()),
-                        "count": pa.array(sums.astype(np.int64), pa.int64())})
+                        "count": pa.array(sums, pa.int64())})
         writer.write_table(out.cast(_ST_SCHEMA))
         writer.close()
         fsx.publish_file(fs, staged, state_path)

@@ -392,9 +392,20 @@ def tfidf_from_state(
         tfv = g.column("tf").to_numpy(zero_copy_only=False)
         did = g.column("doc_id").to_numpy(zero_copy_only=False)
         is_df = did == -1
-        if not is_df.any() or is_df.all():
-            # token absent from state (possible only if docs != folded
-            # union) -> undefined idf; emit nothing rather than guess
+        if not is_df.any():
+            # token appears in the scored docs but was never folded into
+            # the df state: idf is undefined, and emitting nothing would
+            # silently truncate that doc's top-k. Fail loudly, matching
+            # the other state families' parameter-mismatch convention.
+            raise ValueError(
+                "tfidf_from_state: token "
+                f"{g.column('token')[0].as_py()!r} appears in the scored "
+                "docs but not in the folded df state — fold the docs' "
+                "epoch(s) first (docs must be a subset of the folded union)"
+            )
+        if is_df.all():
+            # token in the state but absent from the scored docs — normal
+            # when scoring a subset of the folded union; nothing to score
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "token": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64())})

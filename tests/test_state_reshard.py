@@ -108,3 +108,24 @@ class TestEmbeddingReshard:
     def test_reshard_without_state_refused(self, ray_session, tmp_path):
         with pytest.raises(ValueError, match="manifest"):
             sd.reshard_embedding_state(str(tmp_path / "none"), 8)
+
+
+class TestReshardWriteGuard:
+    def test_undersized_target_fails_loudly(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Resharding to too few buckets must trip a loud per-destination
+        bound (naming reshard_state), never OOM the one write task; the
+        claimed epoch is abandoned so a corrected reshard then succeeds."""
+        import kafka_connect_jdbc_flatten_ray.stages.streaming_windows as sw
+
+        root = str(tmp_path / "q")
+        sq.value_counts_epoch(
+            ray.data.from_arrow(pa.table({"value": _vals(9, 500)})), root,
+            "value", num_buckets=8)
+        monkeypatch.setattr(sw, "MAX_FOLD_ROWS", 100)
+        with pytest.raises(Exception, match="reshard_state"):
+            sq.reshard_state(root, 1)
+        monkeypatch.setattr(sw, "MAX_FOLD_ROWS", 10_000_000)
+        r = sq.reshard_state(root, 16)
+        assert r["num_buckets"] == 16

@@ -172,3 +172,29 @@ class TestStreamingTfidf:
         df = read_parquet_clean(files).to_pandas() \
             .set_index("token")["df"].to_dict()
         assert df == {"aa": 3, "bb": 1, "cc": 1}
+
+
+class TestTfidfStateMismatch:
+    def test_unfolded_token_fails_loudly(self, ray_session, tmp_path):
+        """Scoring a doc whose token was never folded into the df state
+        must raise, not silently truncate that doc's top-k."""
+        root = str(tmp_path / "df")
+        folded = _docs([0, 1], ["en", "en"], ["aa bb", "aa"]).select(
+            ["doc_id", "text"])
+        st.df_counts_epoch(ray.data.from_arrow(folded), root)
+        rogue = _docs([2], ["en"], ["aa zz"]).select(["doc_id", "text"])
+        with pytest.raises(Exception, match="not in the folded df state"):
+            st.tfidf_from_state(
+                ray.data.from_arrow(rogue), root, k=3).to_pandas()
+
+    def test_scoring_subset_of_union_ok(self, ray_session, tmp_path):
+        """Tokens in the state but absent from the scored docs are fine
+        (scoring a subset of the folded union)."""
+        root = str(tmp_path / "df")
+        folded = _docs([0, 1], ["en", "en"], ["aa bb cc", "aa dd"]).select(
+            ["doc_id", "text"])
+        st.df_counts_epoch(ray.data.from_arrow(folded), root)
+        subset = _docs([0], ["en"], ["aa bb cc"]).select(["doc_id", "text"])
+        out = st.tfidf_from_state(
+            ray.data.from_arrow(subset), root, k=3).to_pandas()
+        assert set(out["doc_id"]) == {0}
