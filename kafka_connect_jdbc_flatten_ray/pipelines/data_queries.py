@@ -691,7 +691,9 @@ def q_value_quantiles_incremental(sf_dir: str):
 
 
 def q_semantic_dedup(sf_dir: str):
-    return dedup.semantic_dedup_keep(sf_dir, threshold=0.35)
+    # num_centroids pinned to the SQL oracle's parameter (the operator's
+    # default None derives it from corpus size instead)
+    return dedup.semantic_dedup_keep(sf_dir, threshold=0.35, num_centroids=16)
 
 
 def q_ann_topk(sf_dir: str):

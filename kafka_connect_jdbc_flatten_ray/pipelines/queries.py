@@ -350,7 +350,7 @@ def _jsonify_debezium(t):
     import pyarrow.compute as pc
 
     did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    lang = t.column("lang").to_pandas().to_numpy()
+    lang = t.column("lang").to_numpy(zero_copy_only=False)
     nchars = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
     maxv = did % 3
     # one row per (doc, version) + tombstone rows

@@ -12,12 +12,12 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import ray
 import ray.data
 
-from kafka_connect_jdbc_flatten_ray.util import arrowize, default_pool, fsl_to_numpy, read_parquet_clean
+from kafka_connect_jdbc_flatten_ray.util import default_pool, fsl_to_numpy, read_parquet_clean
 
 
 def _mat(emb_col) -> np.ndarray:
@@ -64,14 +64,27 @@ class BruteForceTopK:
 
 
 def _global_topk(k: int):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cos_r"] = g["cos"].round(6)
-        g = g.sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "cos_r"]].rename(
-            columns={"cos_r": "cos"}
-        )
+    """Arrow-native per-query top-k: round, sort_indices, slice — no
+    pandas hop in the reduce (the partials are already tiny, but the
+    conversion cost and schema churn are pure waste)."""
+    import pyarrow.compute as pc
+
+    def fn(g: pa.Table) -> pa.Table:
+        t = pa.table({
+            "query_id": g.column("query_id"),
+            "vec_id": g.column("vec_id"),
+            "cos": pc.round(g.column("cos"), ndigits=6),
+        })
+        idx = pc.sort_indices(
+            t, sort_keys=[("cos", "descending"), ("vec_id", "ascending")]
+        )[:k]
+        t = t.take(idx)
+        return pa.table({
+            "query_id": t.column("query_id"),
+            "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+            "vec_id": t.column("vec_id"),
+            "cos": t.column("cos"),
+        })
 
     fn.__name__ = "global_topk"
     return fn
@@ -113,7 +126,7 @@ def ann_topk(
         concurrency=default_pool(),
     )
     return partial.groupby("query_id").map_groups(
-        arrowize(_global_topk(k)), batch_format="pandas")
+        _global_topk(k), batch_format="pyarrow")
 
 
 class IVFAssign:
@@ -257,4 +270,4 @@ def ann_topk_ivf(
         ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=default_pool()
     )
     return partial.groupby("query_id").map_groups(
-        arrowize(_global_topk(k)), batch_format="pandas")
+        _global_topk(k), batch_format="pyarrow")

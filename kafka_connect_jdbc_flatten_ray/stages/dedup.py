@@ -1073,8 +1073,27 @@ def dedup_embedding_pairs_slim(
 # ---------------------------------------------------------------------------
 
 
+#: auto-derived centroid target: clusters average ~this many rows (the
+#: SemDeDup paper's k scales with corpus size for the same reason)
+TARGET_CLUSTER_ROWS = 100_000
+#: loud upper bound for ONE cluster's rows in the prune task — the group
+#: build materializes n_c vectors (n_c x dim float64) before the chunked
+#: matmul can bound anything; past this, raise instead of silently OOMing
+MAX_CLUSTER_ROWS = 1_000_000
+
+
+def derived_num_centroids(
+    n_rows: int, target: int = TARGET_CLUSTER_ROWS
+) -> int:
+    """Centroid count for a corpus of ``n_rows`` embeddings: enough that
+    clusters average ~``target`` rows (ceil division), floor 16 — the
+    same grow-with-the-population rule reshard_state applies to state
+    buckets."""
+    return max(16, -(-int(n_rows) // int(target)))
+
+
 def semantic_dedup_keep(
-    sf_dir: str, threshold: float = 0.35, num_centroids: int = 16
+    sf_dir: str, threshold: float = 0.35, num_centroids: int | None = None
 ) -> ray.data.Dataset:
     """SemDeDup-style keep-set (Abbas et al. 2023, simplified to a
     deterministic SQL-checkable rule): assign every embedding to its
@@ -1089,7 +1108,12 @@ def semantic_dedup_keep(
     Scale shape: one broadcast of C centroids, one shuffle of (vec_id,
     embedding, cluster) rows, then a per-cluster chunked lower-triangle
     matmul — O(n_c^2) work per cluster but only O(chunk x n_c) memory;
-    cluster count is the knob that bounds n_c at corpus scale."""
+    cluster count is the knob that bounds n_c at corpus scale.
+    ``num_centroids=None`` derives C from the corpus row count
+    (metadata-only read) so clusters average ~TARGET_CLUSTER_ROWS rows;
+    either way the prune task REFUSES a cluster past MAX_CLUSTER_ROWS
+    (the group build materializes n_c x dim float64 before any chunking
+    can help) with a loud pointer at num_centroids."""
     from kafka_connect_jdbc_flatten_ray.stages.ann import (
         IVFAssign, _mat, _unit, ivf_centroids,
     )
@@ -1097,6 +1121,13 @@ def semantic_dedup_keep(
         default_pool, read_parquet_clean,
     )
 
+    if num_centroids is None:
+        import pyarrow.dataset as pds
+
+        # parquet-footer count only — no vector data leaves storage
+        n_rows = pds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
+        num_centroids = derived_num_centroids(n_rows)
+    cluster_limit = MAX_CLUSTER_ROWS  # captured driver-side (see _guard_fold)
     cents = ivf_centroids(sf_dir, num_centroids)
     cref = ray.put(cents)
     ds = read_parquet_clean(
@@ -1109,6 +1140,14 @@ def semantic_dedup_keep(
     )
 
     def _prune(g: pa.Table) -> pa.Table:
+        if g.num_rows > cluster_limit:
+            bkt = int(g.column("ivf_bucket")[0].as_py())
+            raise ValueError(
+                f"semantic_dedup_keep: cluster {bkt} holds {g.num_rows} "
+                f"vectors (> {cluster_limit}); raise num_centroids (or "
+                "pass num_centroids=None to derive it from corpus size) "
+                "so clusters stay prune-task-sized"
+            )
         ids = g.column("vec_id").to_numpy(zero_copy_only=False)
         m = _unit(_mat(g.column("embedding")))
         order = np.argsort(ids, kind="stable")

@@ -44,7 +44,7 @@ from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
     _guard_fold,
     _split_prior_state,
 )
-from kafka_connect_jdbc_flatten_ray.util import arrowize, read_parquet_clean
+from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
 
 STATE_TABLE = "ivf_index"
 
@@ -202,7 +202,7 @@ def probe_topk(
                       "cos": pa.array([], pa.float64())})
     if not probed:
         return ray.data.from_arrow(empty).groupby("query_id").map_groups(
-            arrowize(_global_topk(k)), batch_format="pandas")
+            _global_topk(k), batch_format="pyarrow")
     qref = ray.put((np.asarray(q_ids, np.int64), q_mat, bucket_to_q))
 
     def _score(paths: list[str]) -> pa.Table:
@@ -252,4 +252,4 @@ def probe_topk(
         batch_format="pyarrow",
     )
     return partial.groupby("query_id").map_groups(
-        arrowize(_global_topk(k)), batch_format="pandas")
+        _global_topk(k), batch_format="pyarrow")

@@ -37,7 +37,6 @@ is to ``value_quantiles``.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -194,19 +193,24 @@ def read_term_counts(state_root: str) -> ray.data.Dataset:
 def top_terms_from_state(state_root: str, k: int = 5) -> ray.data.Dataset:
     """Top-k terms per group over the folded state — row-for-row equal to
     batch ``top_terms_per_lang`` on the union of the folded epochs (same
-    count-desc, token-asc tie-break)."""
-    from kafka_connect_jdbc_flatten_ray.util import arrowize
+    count-desc, token-asc tie-break). Arrow-native reduce: sort_indices +
+    slice per group, no pandas hop."""
 
-    def _topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.rename(columns={"count": "n"})
-        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["n"] = g["n"].astype(np.int64)
-        return g[["lang", "rank", "token", "n"]]
+    def _topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("count", "descending"), ("token", "ascending")]
+        )[:k]
+        t = g.take(idx)
+        return pa.table({
+            "lang": t.column("lang"),
+            "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+            "token": t.column("token"),
+            "n": pc.cast(t.column("count"), pa.int64()),
+        })
 
     _topk.__name__ = "lang_topk_state"
     return read_term_counts(state_root).groupby("lang").map_groups(
-        arrowize(_topk), batch_format="pandas"
+        _topk, batch_format="pyarrow"
     )
 
 

@@ -233,3 +233,50 @@ class TestSemanticDedup:
         assert 0 in kept and 2 in kept
         assert 1 not in kept and 3 not in kept
         assert len(kept) == 4
+
+
+class TestSemanticDedupScaleGuard:
+    def _write(self, tmp_path, n=6, dim=16, seed=11):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(seed)
+        base = rng.randn(n, dim).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        })
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    def test_oversized_cluster_trips_loudly(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """A cluster past MAX_CLUSTER_ROWS must raise (naming the
+        num_centroids remedy), never silently materialize."""
+        import pytest
+
+        from kafka_connect_jdbc_flatten_ray.stages import dedup as dmod
+
+        self._write(tmp_path, n=40)
+        monkeypatch.setattr(dmod, "MAX_CLUSTER_ROWS", 8)
+        with pytest.raises(Exception, match="num_centroids"):
+            dmod.semantic_dedup_keep(
+                str(tmp_path), threshold=0.9, num_centroids=2).take_all()
+
+    def test_num_centroids_derived_from_corpus(self, ray_session, tmp_path):
+        """num_centroids=None derives C so clusters average
+        ~TARGET_CLUSTER_ROWS rows, floor 16; tiny corpora still run."""
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+            TARGET_CLUSTER_ROWS, derived_num_centroids, semantic_dedup_keep,
+        )
+
+        assert derived_num_centroids(0) == 16
+        assert derived_num_centroids(100 * TARGET_CLUSTER_ROWS) == 100
+        assert derived_num_centroids(100 * TARGET_CLUSTER_ROWS + 1) == 101
+        # 10^9 embeddings -> 10k clusters of ~100k rows each
+        assert derived_num_centroids(1_000_000_000) == 10_000
+        self._write(tmp_path, n=30)
+        out = semantic_dedup_keep(str(tmp_path), threshold=0.99)
+        assert len(out.take_all()) >= 1  # auto path end-to-end at tiny n

@@ -89,3 +89,57 @@ class TestLakeHashVersioning:
         m = TableManifest(lake, "cdc_filechange").load()
         assert m["partitioning"]["hash_version"] == 1
         assert ingest.read_lake_table(lake, "cdc_filechange").count() > 0
+
+
+class TestMixedVersionLake:
+    def test_table_added_post_upgrade_mixes_versions(
+        self, ray_session, sf_dir, tmp_path
+    ):
+        """A partially migrated lake legitimately mixes hash versions:
+        tables bootstrapped at v1 stay v1, while a table (re)created
+        after the upgrade records v2 — and neither duplicates keys on
+        later upserts (each table probes prior state with ITS OWN hash,
+        never a forced global minimum). Pins ingest.py's per-table
+        hash_version resolution."""
+        import shutil
+
+        lake = str(tmp_path / "mixed")
+        cfg = ingest.default_config(hash_version=1)
+        ingest.run_epoch(sf_dir, lake, cfg=cfg, replicate=1)
+        # simulate "table added post-upgrade": the lines table did not
+        # exist before the engine default moved to v2
+        shutil.rmtree(f"{lake}/cdc_filechange_lines")
+        ingest.run_epoch(sf_dir, lake, replicate=2)  # default cfg (v2)
+        root_v = TableManifest(lake, "cdc_filechange").load()[
+            "partitioning"]["hash_version"]
+        lines_v = TableManifest(lake, "cdc_filechange_lines").load()[
+            "partitioning"]["hash_version"]
+        assert (root_v, lines_v) == (1, 2)
+        # a further epoch keeps each table on its own version
+        ingest.run_epoch(sf_dir, lake, replicate=2)
+        assert TableManifest(lake, "cdc_filechange").load()[
+            "partitioning"]["hash_version"] == 1
+        assert TableManifest(lake, "cdc_filechange_lines").load()[
+            "partitioning"]["hash_version"] == 2
+        # upserts met their prior buckets: full-history tables equal a
+        # fresh single-version lake's end state (no duplicated keys)
+        ref = str(tmp_path / "ref")
+        ingest.run_epoch(sf_dir, ref, replicate=2)
+        for tbl in ("cdc_filechange", "cdc_filechange_attrs"):
+            assert (ingest.read_lake_table(lake, tbl).count()
+                    == ingest.read_lake_table(ref, tbl).count()), tbl
+        # the recreated table holds only post-recreation keys (checkpoints
+        # skip replayed events) — the v1/v2 hazard would be the SAME key
+        # surviving in two buckets, so assert (key, lineno) uniqueness
+        lines = ingest.read_lake_table(lake, "cdc_filechange_lines") \
+            .to_pandas()
+        pk = ["filechangekey_repo", "filechangekey_path", "lineno"]
+        assert len(lines) == len(lines.drop_duplicates(pk))
+        assert 0 < len(lines) <= ingest.read_lake_table(
+            ref, "cdc_filechange_lines").count()
+        rows = ingest.lake_lookup(
+            lake, "cdc_filechange",
+            {"filechangekey_repo": "repo_1",
+             "filechangekey_path": "src/doc_1.txt"},
+        )
+        assert len(rows) == 1

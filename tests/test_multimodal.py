@@ -211,3 +211,89 @@ class TestAudioContainers:
         })
         with pytest.raises(NotImplementedError, match="PyAV"):
             stage(batch)
+
+
+class TestDispatchWithFakeCodecs:
+    """Branch selection at each codec seam, tested with monkeypatched
+    fake modules (the container has no PIL/PyAV/soundfile): a non-fake
+    payload must route to the real-codec branch when the library is
+    'present', and fake-container payloads must NEVER enter it."""
+
+    def _img_batch(self, payloads):
+        return pa.table({
+            "media_id": pa.array(list(range(len(payloads))), pa.int64()),
+            "media": pa.array(payloads, pa.large_binary()),
+        })
+
+    def test_image_routes_to_real_branch(self):
+        stage = mm.DecodeImage()
+        stage._pil = object()  # pretend PIL is importable
+        sentinel = pa.table({"hit": pa.array([1])})
+        seen = []
+        stage._decode_real = lambda b: (seen.append(b), sentinel)[1]
+        png_ish = b"\x89PNG\r\n\x1a\n" + b"\x00" * 24
+        out = stage(self._img_batch([png_ish]))
+        assert out is sentinel and seen[0].num_rows == 1
+
+    def test_fakeimg_never_enters_real_branch(self):
+        stage = mm.DecodeImage()
+        stage._pil = object()
+        stage._decode_real = lambda b: (_ for _ in ()).throw(
+            AssertionError("FAKEIMG batch must stay on the fake path"))
+        payload = (mm.MAGIC_IMG + (2).to_bytes(4, "little")
+                   + (2).to_bytes(4, "little") + bytes([10, 20, 30, 40]))
+        out = stage(self._img_batch([payload])).to_pylist()[0]
+        assert (out["width"], out["height"]) == (2, 2)
+        assert out["mean_pixel"] == 25.0
+
+    def test_video_routes_to_real_branch(self):
+        stage = mm.FrameSample(every=2)
+        stage._av = object()  # pretend PyAV is importable
+        sentinel = pa.table({"hit": pa.array([1])})
+        stage._demux_real = lambda b: sentinel
+        mp4_ish = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32
+        out = stage(self._img_batch([mp4_ish]))
+        assert out is sentinel
+
+    def test_audio_container_decodes_via_fake_soundfile(self):
+        """A fLaC payload routed through a fake soundfile module must
+        yield the same features as the raw PCM it 'decodes' to — pins the
+        whole unwrap path (sniff -> seam -> appended buffer -> shared
+        vectorized feature pass), not just the error message."""
+        rng = np.random.RandomState(9)
+        samples = rng.randint(-25000, 25000, 128).astype(np.int16)
+
+        class FakeSF:
+            @staticmethod
+            def read(fileobj, dtype):
+                assert dtype == "int16"
+                assert fileobj.read(4) == b"fLaC"
+                return samples.copy(), 16000
+
+        stage = mm.AudioFeatures()
+        stage._sf = FakeSF
+        flac = self._img_batch([b"fLaC" + b"\x00" * 64])
+        got = stage(flac).to_pylist()[0]
+        raw = mm.AudioFeatures()(
+            self._img_batch([samples.astype("<i2").tobytes()])
+        ).to_pylist()[0]
+        for k in ("n_samples", "rms", "zero_crossings", "peak"):
+            assert got[k] == raw[k], k
+
+    def test_audio_stereo_takes_first_channel(self):
+        rng = np.random.RandomState(10)
+        stereo = rng.randint(-25000, 25000, (64, 2)).astype(np.int16)
+
+        class FakeSF:
+            @staticmethod
+            def read(fileobj, dtype):
+                return stereo.copy(), 44100
+
+        stage = mm.AudioFeatures()
+        stage._sf = FakeSF
+        got = stage(self._img_batch([b"OggS" + b"\x00" * 32])).to_pylist()[0]
+        raw = mm.AudioFeatures()(
+            self._img_batch([stereo[:, 0].astype("<i2").tobytes()])
+        ).to_pylist()[0]
+        for k in ("n_samples", "rms", "zero_crossings", "peak"):
+            assert got[k] == raw[k], k
