@@ -18,51 +18,59 @@ from typing import Any
 
 # The driver's correctness harness checks the FIRST 50 queries in dict
 # insertion order. Rotate per round so every query gets a driver row at
-# least every other round: entries never checked in r2/r3 (passthrough,
-# windows, hash join, sampling) come first, queries changed this round
-# next, and the long-stable CDC/source family rotates to the back.
-_ORDER_R4 = [
-    # never driver-checked through r3 (beyond the 50-cap)
-    "passthrough_upsert",
-    "passthrough_insert",
-    "passthrough_upsert_delete",
-    "passthrough_fields_whitelist",
-    "passthrough_update",
-    "user_sessions",
-    "user_sessions_incremental",
-    "clicks_asof_purchase",
-    "clicks_asof_incremental",
-    "user_trailing_hour",
-    "user_trailing_incremental",
-    "lineitem_order_priority",
-    "stratified_sample_docs",
-    "top_terms_per_lang",
-    # changed this round (slim dtype fix; k-means probe oracle)
-    "dedup_minhash_pairs_slim",
-    "dedup_embedding_pairs_slim",
-    "ann_topk_ivf_kmeans",
-    # new this round (Gopher repetition metrics; incremental dedup)
-    "repetition_stats",
-    "dedup_exact_incremental",
-    "dedup_minhash_incremental",
-    "approx_distinct_incremental",
+# least every other round: queries NEW or code-touched this round lead
+# (same-round driver rows for every change), then the 30 entries the r4
+# window pushed out (CDC/source/textops/media families), then natural
+# order (all driver-green in r4).
+_ORDER_R5 = [
+    # new this round (composite corpus-prep with its own exact oracle)
+    "corpus_prep_full",
+    # code-touched this round (SemDeDup guard; Arrow top-k reduces;
+    # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_ivf_incremental",
+    "top_terms_incremental",
+    "tfidf_incremental",
     "value_quantiles",
     "value_quantiles_incremental",
-    "contamination_check",
-    "contamination_incremental",
-    "dedup_embedding_incremental",
-    "top_terms_incremental",
-    "ann_topk_ivf_incremental",
-    "stratified_sample_incremental",
-    "tfidf_top_terms",
-    "tfidf_incremental",
-    "label_centroids",
+    "cdc_lines_per_lang",
+    # beyond the r4 window — regain driver rows this round
+    "source_custom_query",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_pairs",
+    "dedup_minhash_keep",
+    "dedup_minhash_clusters",
+    "approx_distinct_users",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "corpus_prep",
+    "model_quality_scores",
+    "regex_token_count",
+    "scrub_text",
+    "sample_30pct",
+    "chunk_docs",
+    "pack_sequences",
+    "ann_cosine_topk",
+    "ann_topk_ivf",
+    "media_image_decode",
+    "media_video_frames",
+    "media_audio_features",
+    "events_by_type",
+    "user_hourly_counts",
+    "top_users",
+    "distinct_langs",
+    "orders_by_segment",
 ]
 
 
 def _rotated(d: dict[str, Any]) -> dict[str, Any]:
-    head = {k: d[k] for k in _ORDER_R4 if k in d}
+    head = {k: d[k] for k in _ORDER_R5 if k in d}
     head.update({k: v for k, v in d.items() if k not in head})
     return head
 

@@ -121,9 +121,29 @@ def headline() -> dict:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def corpus_headline() -> dict:
+    """Second composite metric: the corpus-prep pipeline (exact-dedup keep
+    -> contamination filter -> PII scrub -> sequence packing) over the
+    sf0.1 documents table, as ONE number. The docs/s-equivalent is input
+    documents over wall time (the corpus analogue of the CDC headline's
+    events/s)."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_jdbc_flatten_ray.pipelines import data_queries as dq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    t0 = time.perf_counter()
+    n_seqs = dq.q_corpus_prep_full(SF_DIR).count()
+    sec = time.perf_counter() - t0
+    return {"sec": round(sec, 3), "docs": int(n_docs),
+            "docs_per_sec": round(n_docs / sec, 1),
+            "sequences": int(n_seqs)}
+
+
 def run_queries() -> dict:
     from kafka_connect_jdbc_flatten_ray.pipelines import data_queries as dq
     from kafka_connect_jdbc_flatten_ray.pipelines import queries as q
+    from kafka_connect_jdbc_flatten_ray.pipelines import relational as rel
 
     timings = {}
     sel = [
@@ -153,6 +173,13 @@ def run_queries() -> dict:
         if hasattr(ds, "count"):
             ds.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    # the reference's most-used legacy mode at bench scale
+    rqs = rel.relational_queries()
+    t0 = time.perf_counter()
+    ds = rqs["passthrough_upsert"](SF_DIR)
+    if hasattr(ds, "count"):
+        ds.count()
+    timings["passthrough_upsert"] = round(time.perf_counter() - t0, 3)
     return timings
 
 
@@ -161,6 +188,7 @@ def run_single(headline_only: bool = False) -> dict:
     _warm_cache()
     h = headline()
     qt = {} if headline_only else run_queries()
+    corpus = None if headline_only else corpus_headline()
     out = {
         "metric": "cdc_flatten_upsert_replay",
         "value": round(h["sec"], 3),
@@ -171,6 +199,10 @@ def run_single(headline_only: bool = False) -> dict:
         "events": h["events"],
         "events_per_sec": round(h["events_per_sec"], 1),
     }
+    if corpus is not None:
+        # second composite headline: corpus-prep (dedup -> contamination
+        # -> scrub -> pack) with its docs/s-equivalent
+        out["corpus_prep_full"] = corpus
     import ray
 
     ray.shutdown()

@@ -502,6 +502,71 @@ FROM winners
 """
 
 
+def q_corpus_prep_full(sf_dir: str):
+    """Composite corpus-prep at full fidelity — the LLM-operator family's
+    bench headline: exact-dedup keep (hash-only shuffle) -> contamination
+    filter against the every-17th-doc benchmark (8-byte hash exchange,
+    bloom-prefiltered) -> PII scrub (actor pool) -> sequence packing.
+    The keep set and the zero-hit set combine through an id-only
+    union+groupby (8-byte rows), and the surviving ids filter the corpus
+    through ONE text-carrying semi-join exchange (joins.semi_join_ids —
+    never a broadcast of a corpus-sized id set, never Ray's native hash
+    join, which deadlocks composed with actor pools). Every leg is an
+    already-oracled operator; the composition has its own exact oracle
+    (dedup_oracles.corpus_prep_full_sql)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_jdbc_flatten_ray.stages import scrub as sc
+    from kafka_connect_jdbc_flatten_ray.stages.export import pack_sequences
+    from kafka_connect_jdbc_flatten_ray.stages.joins import semi_join_ids
+
+    docs = _docs(sf_dir)
+    # per-doc flags, id-only rows: keep (dedup winner) and contamination
+    # hits computed independently, combined by one tiny groupby-sum
+    keep = dedup.dedup_exact(docs).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "keep": pa.array(np.ones(t.num_rows, np.int8)),
+            "ngram_hits": pa.array(np.zeros(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    hits = sc.contamination_check_distributed(
+        docs, _bench_docs(sf_dir), n=8
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "keep": pa.array(np.zeros(t.num_rows, np.int8)),
+            "ngram_hits": t.column("ngram_hits"),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    flags = keep.union(hits).groupby("doc_id").aggregate(
+        Sum("keep", alias_name="keep"),
+        Sum("ngram_hits", alias_name="ngram_hits"),
+    )
+
+    def _clean_ids(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater(t.column("keep"), 0),
+                     pc.equal(t.column("ngram_hits"), 0))
+        return pa.table({"doc_id": t.filter(ok).column("doc_id")})
+
+    clean = semi_join_ids(
+        docs,
+        flags.map_batches(_clean_ids, batch_format="pyarrow",
+                          zero_copy_batch=True),
+    )
+    scrubbed = clean.map_batches(
+        sc.ScrubText, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_pool(),
+    )
+    return pack_sequences(scrubbed, seq_len=128, group_size=100) \
+        .select_columns(["group", "seq_idx", "n_real"])
+
+
 def q_scrub_text(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages.scrub import ScrubText
 
@@ -894,6 +959,7 @@ def data_queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "corpus_prep": q_corpus_prep,
+        "corpus_prep_full": q_corpus_prep_full,
         "model_quality_scores": q_model_quality_scores,
         "regex_token_count": q_regex_token_count,
         "scrub_text": q_scrub_text,
@@ -963,6 +1029,9 @@ def data_oracles() -> dict:
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,
+        # composition of already-oracled legs (dedup keep, contamination
+        # shingle mirror, scrub regexes, pack layout) in one statement
+        "corpus_prep_full": dedup_oracles.corpus_prep_full_sql(8, 17, 128, 100),
         "model_quality_scores": ORACLE_MODEL_QUALITY,
         "regex_token_count": ORACLE_REGEX_TOKEN_COUNT,
         "scrub_text": ORACLE_SCRUB,

@@ -622,3 +622,68 @@ SELECT doc.doc_id,
        COALESCE(h.ngram_hits, 0) > 0 AS contaminated,
        CAST(COALESCE(h.ngram_hits, 0) AS BIGINT) AS ngram_hits
 FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id"""
+
+
+def corpus_prep_full_sql(
+    n: int = 8, bench_mod: int = 17, seq_len: int = 128,
+    group_size: int = 100,
+) -> str:
+    """Oracle for the composite corpus-prep pipeline
+    (pipelines/data_queries.q_corpus_prep_full): exact-dedup keep
+    (min doc_id per text — the content-equality mirror of the dual
+    fingerprints), contamination filter against the
+    every-``bench_mod``-th-doc benchmark (the same n-way positional
+    shingle mirror as contamination_sql), PII scrub (ORACLE_SCRUB's two
+    regexes), then the sequence-packing layout (ORACLE_PACK_SEQUENCES's
+    arithmetic) over the clean scrubbed survivors."""
+    ks = [(_A * pow(_B, n - 1, _M)) % _M] + [
+        (_C * pow(_B, n - 1 - i, _M)) % _M for i in range(1, n)
+    ]
+    joins = "\n  ".join(
+        f"JOIN th t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n)
+    )
+    terms = " + ".join(_mul(f"t{i}.th", ks[i]) for i in range(n))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    return f"""WITH {_TH},
+shn AS (
+  SELECT t0.doc_id, ({terms}) % {_MSTR} AS sh
+  FROM th t0
+  {joins}
+),
+bench AS (SELECT DISTINCT sh FROM shn WHERE doc_id % {bench_mod} = 0),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+chits AS (
+  SELECT d.doc_id, count(*) AS c
+  FROM shn d JOIN bench USING (sh)
+  GROUP BY d.doc_id
+),
+clean AS (
+  SELECT k.doc_id, doc.text
+  FROM keep k JOIN documents doc USING (doc_id)
+  LEFT JOIN chits h ON h.doc_id = k.doc_id
+  WHERE COALESCE(h.c, 0) = 0
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+           '[0-9]{{6,}}', '<NUM>', 'g') AS text
+  FROM clean
+),
+g AS (
+  SELECT doc_id // {group_size} AS grp,
+         SUM(len(string_split(text, ' '))) AS total
+  FROM scrubbed GROUP BY doc_id // {group_size}
+),
+s AS (
+  SELECT grp,
+         unnest(range(CAST((total + {seq_len - 1}) // {seq_len} AS BIGINT)))
+           AS seq_idx,
+         total
+  FROM g
+)
+SELECT CAST(grp AS BIGINT) AS "group",
+       CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(least({seq_len}, total - seq_idx * {seq_len}) AS BIGINT) AS n_real
+FROM s"""
