@@ -121,19 +121,49 @@ def headline() -> dict:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+CORPUS_REPLICATE = int(os.environ.get("BENCH_CORPUS_REPLICATE", "100"))
+
+
 def corpus_headline() -> dict:
     """Second composite metric: the corpus-prep pipeline (exact-dedup keep
     -> contamination filter -> PII scrub -> sequence packing) over the
-    sf0.1 documents table, as ONE number. The docs/s-equivalent is input
-    documents over wall time (the corpus analogue of the CDC headline's
-    events/s)."""
+    documents table replicated CORPUS_REPLICATE times (replica-unique ids
+    AND a replica-unique trailing token, so the dedup stage does full
+    hashing+shuffle work without collapsing the corpus — the analogue of
+    the CDC headline's event replication). The docs/s-equivalent is input
+    documents over wall time."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from kafka_connect_jdbc_flatten_ray.pipelines import data_queries as dq
+    from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
 
-    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    base = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    reps, stride = CORPUS_REPLICATE, 100_000_000
+
+    def _replicate(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = []
+        for k in range(reps):
+            suffix = pa.array(np.full(t.num_rows, f" r{k}", dtype=object))
+            parts.append(pa.table({
+                "doc_id": pa.array(did + k * stride),
+                "text": pc.binary_join_element_wise(text, suffix, ""),
+            }))
+        return pa.concat_tables(parts)
+
+    docs = read_parquet_clean(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_replicate, batch_format="pyarrow", zero_copy_batch=True)
+    bench = dq._bench_docs(SF_DIR)
+    n_docs = base * reps
     t0 = time.perf_counter()
-    n_seqs = dq.q_corpus_prep_full(SF_DIR).count()
+    n_seqs = dq.corpus_prep_pipeline(docs, bench).count()
     sec = time.perf_counter() - t0
     return {"sec": round(sec, 3), "docs": int(n_docs),
             "docs_per_sec": round(n_docs / sec, 1),

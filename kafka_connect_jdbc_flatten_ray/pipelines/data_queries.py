@@ -503,9 +503,17 @@ FROM winners
 
 
 def q_corpus_prep_full(sf_dir: str):
+    """Composite corpus-prep over the sf tables — exact oracle
+    ``corpus_prep_full_sql``; see :func:`corpus_prep_pipeline`."""
+    return corpus_prep_pipeline(_docs(sf_dir), _bench_docs(sf_dir))
+
+
+def corpus_prep_pipeline(
+    docs: ray.data.Dataset, bench: ray.data.Dataset
+) -> ray.data.Dataset:
     """Composite corpus-prep at full fidelity — the LLM-operator family's
     bench headline: exact-dedup keep (hash-only shuffle) -> contamination
-    filter against the every-17th-doc benchmark (8-byte hash exchange,
+    filter against the ``bench`` corpus (8-byte hash exchange,
     bloom-prefiltered) -> PII scrub (actor pool) -> sequence packing.
     The keep set and the zero-hit set combine through an id-only
     union+groupby (8-byte rows), and the surviving ids filter the corpus
@@ -522,8 +530,6 @@ def q_corpus_prep_full(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages import scrub as sc
     from kafka_connect_jdbc_flatten_ray.stages.export import pack_sequences
     from kafka_connect_jdbc_flatten_ray.stages.joins import semi_join_ids
-
-    docs = _docs(sf_dir)
     # per-doc flags, id-only rows: keep (dedup winner) and contamination
     # hits computed independently, combined by one tiny groupby-sum
     keep = dedup.dedup_exact(docs).map_batches(
@@ -535,7 +541,7 @@ def q_corpus_prep_full(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     hits = sc.contamination_check_distributed(
-        docs, _bench_docs(sf_dir), n=8
+        docs, bench, n=8
     ).map_batches(
         lambda t: pa.table({
             "doc_id": t.column("doc_id"),
