@@ -23,8 +23,9 @@ from typing import Any
 # window pushed out (CDC/source/textops/media families), then natural
 # order (all driver-green in r4).
 _ORDER_R5 = [
-    # new this round (composite corpus-prep with its own exact oracle)
+    # new this round (composite corpus-prep; Gopher quality rules)
     "corpus_prep_full",
+    "gopher_quality",
     # code-touched this round (SemDeDup guard; Arrow top-k reduces;
     # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",

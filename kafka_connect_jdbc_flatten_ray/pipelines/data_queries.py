@@ -885,6 +885,49 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
 FROM documents
 """
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-rule quality filtering (Rae et al. 2021 §A1.1, document-
+    level subset): per-doc metrics + composite keep flag, thresholds
+    pinned to the SQL oracle's parameters. min_words=40 / stop>=2 both
+    split this corpus, so the flag is value-checked in both branches."""
+    from kafka_connect_jdbc_flatten_ray.stages.textops import GopherQuality
+
+    return _docs(sf_dir).map_batches(
+        GopherQuality(min_words=40), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=default_pool(),
+    )
+
+
+def _gopher_quality_sql(
+    min_words: int = 40, max_words: int = 100_000,
+    min_mwl: float = 3.0, max_mwl: float = 10.0,
+    min_alpha: float = 0.8, min_stop: int = 2,
+) -> str:
+    from kafka_connect_jdbc_flatten_ray.stages.textops import GOPHER_STOP
+
+    stop = ",".join(f"'{w}'" for w in GOPHER_STOP)
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(ws, t -> CAST(length(t) AS DOUBLE)))
+               / len(ws), 6) AS mean_word_len,
+         round(CAST(len(list_filter(ws,
+               t -> regexp_matches(t, '^[A-Za-z]+$'))) AS DOUBLE)
+               / len(ws), 6) AS frac_alpha_words,
+         CAST(len(list_filter(ws, t -> t IN ({stop}))) AS BIGINT)
+           AS gopher_stop_hits
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, gopher_stop_hits,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl}
+        AND frac_alpha_words >= {min_alpha}
+        AND gopher_stop_hits >= {min_stop}) AS keep
+FROM m
+"""
+
+
 ORACLE_TEXT_QUALITY = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -961,6 +1004,7 @@ def data_queries() -> dict:
         "tfidf_incremental": q_tfidf_incremental,
         "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
+        "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1033,6 +1077,7 @@ def data_oracles() -> dict:
         "tfidf_incremental": ORACLE_TFIDF,
         "label_centroids": ORACLE_LABEL_CENTROIDS,
         "text_quality": ORACLE_TEXT_QUALITY,
+        "gopher_quality": _gopher_quality_sql(min_words=40),
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,
         # composition of already-oracled legs (dedup keep, contamination

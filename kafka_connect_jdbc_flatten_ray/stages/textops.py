@@ -91,6 +91,72 @@ class QualityScore:
         )
 
 
+#: Gopher's required-word set (Rae et al. 2021 §A1.1: a document must
+#: contain >= 2 of these to pass the quality rules)
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+class GopherQuality:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+    document-level subset that applies to whitespace-tokenized text):
+    word-count bounds, mean-word-length bounds, alphabetic-word fraction,
+    and the required-word count, plus the composite ``keep`` flag. All
+    ratios round to 6 decimals BEFORE threshold comparison so the flag is
+    bit-identical to the SQL mirror. Fully vectorized: one split, flat
+    per-token kernels, np.add.at segment sums — no per-doc loop."""
+
+    def __init__(
+        self,
+        min_words: int = 50,
+        max_words: int = 100_000,
+        min_mean_word_len: float = 3.0,
+        max_mean_word_len: float = 10.0,
+        min_alpha_frac: float = 0.8,
+        min_stop_hits: int = 2,
+    ):
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_mwl = min_mean_word_len
+        self.max_mwl = max_mean_word_len
+        self.min_alpha = min_alpha_frac
+        self.min_stop = min_stop_hits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        flat, parent, lens = _tokens(text)
+        denom = np.maximum(lens, 1)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        tot_len = np.zeros(n, np.int64)
+        np.add.at(tot_len, parent, wlen.astype(np.int64))
+        mwl = np.round(tot_len / denom, 6)
+        alpha = pc.match_substring_regex(
+            flat, r"^[A-Za-z]+$"
+        ).to_numpy(zero_copy_only=False)
+        n_alpha = np.zeros(n, np.int64)
+        np.add.at(n_alpha, parent, alpha.astype(np.int64))
+        frac_alpha = np.round(n_alpha / denom, 6)
+        stop_hits = _count_hits(flat, parent, n, GOPHER_STOP)
+        keep = (
+            (lens >= self.min_words) & (lens <= self.max_words)
+            & (mwl >= self.min_mwl) & (mwl <= self.max_mwl)
+            & (frac_alpha >= self.min_alpha)
+            & (stop_hits >= self.min_stop)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(lens, pa.int64()),
+                "mean_word_len": pa.array(mwl, pa.float64()),
+                "frac_alpha_words": pa.array(frac_alpha, pa.float64()),
+                "gopher_stop_hits": pa.array(stop_hits, pa.int64()),
+                "keep": pa.array(keep),
+            }
+        )
+
+
 class LangId:
     """Stopword-hit language guess with fixed priority tie-break."""
 

@@ -151,3 +151,58 @@ class TestTfidf:
             .sort_values("doc_id").reset_index(drop=True)
         assert got.token.tolist() == ["alpha", "beta", "gamma"]
         assert (got.score > 0).all()
+
+
+class TestGopherQuality:
+    def _run(self, texts, **kw):
+        import pyarrow as pa
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import GopherQuality
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+        return GopherQuality(**kw)(t).to_pylist()
+
+    def test_metrics_and_keep(self):
+        out = self._run(
+            ["the cat sat on the mat with a hat",   # 9 words, 2+ stops
+             "short",                                # 1 word
+             "a b c d e f g h i j"],                 # 10 words, mwl 1, 0 stops
+            min_words=5, min_mean_word_len=2.0, min_stop_hits=2,
+        )
+        assert out[0]["n_words"] == 9
+        assert out[0]["gopher_stop_hits"] == 3   # the, the, with
+        assert out[0]["keep"] is True or out[0]["keep"] == True  # noqa: E712
+        assert not out[1]["keep"]                # too few words
+        assert not out[2]["keep"]                # mwl 1.0 < 2.0, no stops
+
+    def test_alpha_fraction(self):
+        out = self._run(
+            ["the of 123 ab7 word to and that more words here ok"],
+            min_words=5, min_alpha_frac=0.9,
+        )
+        # 12 words, 2 non-alpha (123, ab7) -> 10/12 = 0.833333 < 0.9
+        assert abs(out[0]["frac_alpha_words"] - round(10 / 12, 6)) < 1e-12
+        assert not out[0]["keep"]
+
+    def test_matches_duckdb(self, sf_dir):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.data_queries import (
+            _gopher_quality_sql,
+        )
+        from kafka_connect_jdbc_flatten_ray.stages.textops import GopherQuality
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        got = GopherQuality(min_words=40)(t).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        want = con.execute(_gopher_quality_sql(min_words=40)).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want[got.columns])
+        assert 0 < got["keep"].sum() < len(got)  # both branches exercised
