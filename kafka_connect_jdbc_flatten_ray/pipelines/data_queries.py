@@ -893,8 +893,9 @@ def q_gopher_quality(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages.textops import GopherQuality
 
     return _docs(sf_dir).map_batches(
-        GopherQuality(min_words=40), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=default_pool(),
+        GopherQuality, fn_constructor_kwargs={"min_words": 40},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_pool(),
     )
 
 
