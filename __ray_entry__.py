@@ -26,6 +26,8 @@ _ORDER_R5 = [
     # new this round (composite corpus-prep; Gopher quality rules)
     "corpus_prep_full",
     "gopher_quality",
+    "bigram_lm_score",
+    "bigram_lm_incremental",
     # code-touched this round (SemDeDup guard; Arrow top-k reduces;
     # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",

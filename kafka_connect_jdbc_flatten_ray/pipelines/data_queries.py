@@ -211,6 +211,37 @@ def q_tfidf_incremental(sf_dir: str):
     return st.tfidf_from_state(_docs(sf_dir), root, k=3)
 
 
+def q_bigram_lm_incremental(sf_dir: str):
+    """Streaming bigram LM: fold the corpus bigram counts in three epochs
+    through lake-resident state, then score the corpus against the
+    accumulated statistics — addition is commutative, so the result
+    equals batch bigram_lm_score and shares its SQL oracle verbatim."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_terms as st
+
+    root = tempfile.mkdtemp(prefix="kcjf_bigram_state_")
+    ds = _docs(sf_dir)
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"bigram_epoch_part_{part}"
+        return _f
+
+    for part in (1, 2, 0):  # out-of-order folds: addition is commutative
+        st.bigram_counts_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root,
+        )
+    return st.lm_score_from_state(_docs(sf_dir), root)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label mean-pooled embedding (class prototypes), long format —
     each batch pre-reduces to one (label, sum, count) row per label, so
@@ -885,6 +916,36 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
 FROM documents
 """
 
+def q_bigram_lm_score(sf_dir: str):
+    """Bigram-LM (CCNet-style) perplexity scoring, MLE-trained on the
+    scored corpus — train + score in three count-row groupbys, no count
+    table broadcast (stages/textops.bigram_lm_score)."""
+    from kafka_connect_jdbc_flatten_ray.stages.textops import bigram_lm_score
+
+    return bigram_lm_score(_docs(sf_dir))
+
+
+ORACLE_BIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM big GROUP BY w1)
+SELECT big.doc_id,
+       round(avg(ln(c2.c12 / c1.c1)), 6) AS avg_logprob,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY big.doc_id
+"""
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rule quality filtering (Rae et al. 2021 §A1.1, document-
     level subset): per-doc metrics + composite keep flag, thresholds
@@ -1006,6 +1067,8 @@ def data_queries() -> dict:
         "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
+        "bigram_lm_score": q_bigram_lm_score,
+        "bigram_lm_incremental": q_bigram_lm_incremental,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1079,6 +1142,10 @@ def data_oracles() -> dict:
         "label_centroids": ORACLE_LABEL_CENTROIDS,
         "text_quality": ORACLE_TEXT_QUALITY,
         "gopher_quality": _gopher_quality_sql(min_words=40),
+        "bigram_lm_score": ORACLE_BIGRAM_LM,
+        # bigram-count folds are order-independent sums, so scoring
+        # against the accumulated state equals the batch pass
+        "bigram_lm_incremental": ORACLE_BIGRAM_LM,
         "lang_id": ORACLE_LANG_ID,
         "corpus_prep": ORACLE_CORPUS_PREP,
         # composition of already-oracled legs (dedup keep, contamination

@@ -433,3 +433,245 @@ def tfidf_from_state(
     return scored.groupby("doc_id").map_groups(
         _doc_topk_fn(k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental bigram counts (the bigram-LM corpus statistic)
+# ---------------------------------------------------------------------------
+
+BIGRAM_TABLE = "bigram_state"
+
+_BG_SCHEMA = pa.schema([
+    ("gh", pa.int64()),
+    ("w1", pa.string()),
+    ("w2", pa.string()),
+    ("count", pa.int64()),
+])
+
+
+def bigram_counts_epoch(
+    docs: ray.data.Dataset,
+    state_root: str,
+    text: str = "text",
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch of documents into lake-resident bigram occurrence
+    counts — the corpus statistic of textops.bigram_lm_score. Each batch
+    pre-reduces to one (w1, w2, count) partial per distinct bigram, rows
+    route by ``stable_row_hash(w1, w2) % N``, folds merge on the REAL
+    (w1, w2) columns (routing-hash collisions can never merge distinct
+    bigrams) and sum counts. Addition is commutative: epochs fold in any
+    order, and :func:`lm_score_from_state` equals batch
+    ``bigram_lm_score`` over the union of the folded epochs."""
+    from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+        MAX_FOLD_ROWS,
+    )
+    from kafka_connect_jdbc_flatten_ray.stages.textops import _bigram_rows
+
+    manifest = TableManifest(state_root, BIGRAM_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
+
+    def _partial(t: pa.Table) -> pa.Table:
+        per_doc = _bigram_rows(t)  # (w1, w2, doc_id, m) — exact per doc
+        agg = pa.TableGroupBy(per_doc, ["w1", "w2"]).aggregate(
+            [("m", "sum")]
+        ).rename_columns(["w1", "w2", "count"])
+        gh = stable_row_hash(agg, ("w1", "w2")).view(np.int64)
+        out = pa.table({
+            "gh": pa.array(gh),
+            "w1": agg.column("w1"),
+            "w2": agg.column("w2"),
+            "count": pc.cast(agg.column("count"), pa.int64()),
+        })
+        vb = gh.view(np.uint64)
+        return out.append_column(
+            "__bucket", pa.array((vb % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        bucket = int(g.column("__bucket")[0].as_py())
+        g = g.drop_columns(["__bucket"])
+        _guard_fold(g.num_rows, "bigram_counts_epoch", num_buckets, fold_limit)
+        out_dir = fsx.join(root, BIGRAM_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        touched = np.unique(g.column("gh").to_numpy(zero_copy_only=False))
+        state, writer, carried = _split_prior_state(
+            fs, prior.get(bucket), "gh", touched, _BG_SCHEMA, staged
+        )
+        both = g.select(_BG_SCHEMA.names)
+        if state is not None and state.num_rows:
+            both = pa.concat_tables([state.select(_BG_SCHEMA.names), both])
+        agg = pa.TableGroupBy(both, ["gh", "w1", "w2"]).aggregate(
+            [("count", "sum")]
+        ).rename_columns(["gh", "w1", "w2", "count"])
+        out = pa.table({
+            "gh": agg.column("gh"),
+            "w1": agg.column("w1"),
+            "w2": agg.column("w2"),
+            "count": pc.cast(agg.column("count"), pa.int64()),
+        })
+        writer.write_table(out.cast(_BG_SCHEMA))
+        writer.close()
+        fsx.publish_file(fs, staged, state_path)
+        return pa.table({
+            "bucket": [bucket],
+            "state_path": [state_path],
+            "bigrams": [out.num_rows + carried],
+            "epoch_count": [int(pc.sum(g.column("count")).as_py())],
+        })
+
+    _fold.__name__ = "bigram_fold"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            docs.map_batches(_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
+    totals = {k: int(sum(r[k] for r in stats))
+              for k in ("bigrams", "epoch_count")}
+    manifest.publish(
+        epoch, bucket_files, totals,
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": ["gh"],
+                      "hash_version": 2},
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "buckets": len(bucket_files), **totals}
+
+
+def lm_score_from_state(
+    docs: ray.data.Dataset, state_root: str
+) -> ray.data.Dataset:
+    """Score documents against the ACCUMULATED bigram counts — equal to
+    batch ``bigram_lm_score`` over the union of the folded epochs when
+    ``docs`` is that union (same ln(c12/c1) per-occurrence mean, same
+    6-decimal rounding), sharing its SQL oracle verbatim. State rows ride
+    the (w1, w2) groupby as doc_id = -1 count rows; every state pair
+    forwards one (w1, c12) row into the w1 group so c(w1, .) sums over
+    ALL followers, scored or not. A doc bigram absent from the state
+    fails loudly (the tfidf_from_state convention)."""
+    from kafka_connect_jdbc_flatten_ray.stages.textops import _bigram_rows
+
+    manifest = TableManifest(state_root, BIGRAM_TABLE)
+    fs, _ = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        r = _bigram_rows(t)
+        return pa.table({
+            "w1": r.column("w1"),
+            "w2": r.column("w2"),
+            "doc_id": r.column("doc_id"),
+            "m": r.column("m"),
+        })
+
+    def _state_rows(t: pa.Table) -> pa.Table:
+        if "bucket" in t.schema.names:
+            t = t.drop_columns(["bucket"])
+        n = t.num_rows
+        return pa.table({
+            "w1": t.column("w1"),
+            "w2": t.column("w2"),
+            "doc_id": pa.array(np.full(n, -1, np.int64)),
+            "m": t.column("count"),
+        })
+
+    def _attach_c12(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        mv = g.column("m").to_numpy(zero_copy_only=False)
+        is_state = did == -1
+        if not is_state.any():
+            raise ValueError(
+                "lm_score_from_state: bigram "
+                f"({g.column('w1')[0].as_py()!r}, "
+                f"{g.column('w2')[0].as_py()!r}) appears in the scored "
+                "docs but not in the folded bigram state — fold the docs' "
+                "epoch(s) first (docs must be a subset of the folded union)"
+            )
+        c12 = int(mv[is_state].sum())
+        keep = ~is_state
+        w1 = g.column("w1")
+        if isinstance(w1, pa.ChunkedArray):
+            w1 = w1.combine_chunks()
+        sel = pa.array(keep)
+        doc_part = pa.table({
+            "w1": w1.filter(sel),
+            "doc_id": pa.array(did[keep]),
+            "m": pa.array(mv[keep]),
+            "c12": pa.array(np.full(int(keep.sum()), c12, np.int64)),
+        })
+        # one forwarding row per state pair: its c12 contributes to c(w1,.)
+        fwd = pa.table({
+            "w1": w1.slice(0, 1),
+            "doc_id": pa.array([-1], pa.int64()),
+            "m": pa.array([c12], pa.int64()),
+            "c12": pa.array([c12], pa.int64()),
+        })
+        return pa.concat_tables([doc_part, fwd])
+
+    _attach_c12.__name__ = "attach_c12_state"
+
+    def _attach_c1(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        mv = g.column("m").to_numpy(zero_copy_only=False)
+        is_state = did == -1
+        c1 = float(mv[is_state].sum())
+        keep = ~is_state
+        m = mv[keep].astype(np.float64)
+        c12 = g.column("c12").to_numpy(zero_copy_only=False)[keep].astype(
+            np.float64)
+        return pa.table({
+            "doc_id": pa.array(did[keep]),
+            "m": pa.array(mv[keep]),
+            "lp": pa.array(m * np.log(c12 / c1), pa.float64()),
+        })
+
+    _attach_c1.__name__ = "attach_c1_state"
+
+    def _doc_avg(g: pa.Table) -> pa.Table:
+        m = g.column("m").to_numpy(zero_copy_only=False)
+        lp = g.column("lp").to_numpy(zero_copy_only=False)
+        n = int(m.sum())
+        return pa.table({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()], pa.int64()),
+            "avg_logprob": pa.array([round(float(lp.sum()) / n, 6)],
+                                    pa.float64()),
+            "n_bigrams": pa.array([n], pa.int64()),
+        })
+
+    _doc_avg.__name__ = "doc_avg_logprob_state"
+    dr = docs.map_batches(_doc_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    sr = read_parquet_clean(files, filesystem=fs,
+                            columns=["w1", "w2", "count"]).map_batches(
+        _state_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        dr.union(sr)
+        .groupby(["w1", "w2"]).map_groups(_attach_c12, batch_format="pyarrow")
+        .groupby("w1").map_groups(_attach_c1, batch_format="pyarrow")
+        .groupby("doc_id").map_groups(_doc_avg, batch_format="pyarrow")
+    )
+
+
+def reshard_bigram_state(state_root: str, new_num_buckets: int) -> dict:
+    """Re-bucket the bigram state (routing hash already splitmix-final)."""
+    from kafka_connect_jdbc_flatten_ray.stages.state_reshard import (
+        reshard_modulo_state,
+    )
+
+    return reshard_modulo_state(
+        state_root, BIGRAM_TABLE, "gh", _BG_SCHEMA, new_num_buckets
+    )

@@ -245,6 +245,116 @@ class RepetitionStats:
         )
 
 
+def _bigram_rows(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (w1, w2, doc_id, m) row per distinct
+    (doc, bigram), m = that bigram's occurrence count in the doc (a doc
+    is one input row, so counts never span batches — m is exact)."""
+    text = t.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    flat, parent, _ = _tokens(text)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    n_flat = len(flat)
+    if n_flat < 2:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "m": pa.array([], pa.int64())})
+    same = pa.array(parent[:-1] == parent[1:])
+    rep = pa.table({
+        "doc_id": pa.array(ids[parent[:-1]]),
+        "w1": flat.slice(0, n_flat - 1),
+        "w2": flat.slice(1, n_flat - 1),
+    }).filter(same)
+    agg = pa.TableGroupBy(rep, ["doc_id", "w1", "w2"]).aggregate(
+        [("w1", "count")]
+    ).rename_columns(["doc_id", "w1", "w2", "m"])
+    return pa.table({
+        "w1": agg.column("w1"),
+        "w2": agg.column("w2"),
+        "doc_id": agg.column("doc_id"),
+        "m": pc.cast(agg.column("m"), pa.int64()),
+    })
+
+
+def bigram_lm_score(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Bigram language-model quality score — the CCNet-style perplexity
+    filter, MLE-trained on the scored corpus itself:
+
+        score(doc) = round(mean over the doc's bigram occurrences of
+                           ln P(w2 | w1), 6)
+        P(w2 | w1) = c(w1,w2) / c(w1,·)   (c = corpus occurrence counts)
+
+    100 TB shape: no count-table broadcast. The per-batch combiner emits
+    one (w1, w2, doc_id, m) row per distinct (doc, bigram); because the
+    training corpus IS the scored corpus, each (w1,w2) group already
+    holds every occurrence, so c(w1,w2) is an in-group sum (no separate
+    count rows ride the exchange), and each w1 group of the next stage
+    sums to c(w1,·) the same way. Three groupbys total, all over small
+    integer+token rows — text bodies never shuffle. Docs with < 2 tokens
+    have no bigrams and are absent from the output (the SQL mirror's
+    inner-join semantics). Hot LEFT contexts (a stop word's w1 group =
+    every distinct (doc, follower) pair) are bounded by the loud
+    MAX_GROUP_ROWS guard; the scale remedy is salting the w1 group by
+    doc hash with a partial-sum pre-pass, as stages/windows.py does for
+    hot keys."""
+    from kafka_connect_jdbc_flatten_ray.stages.windows import MAX_GROUP_ROWS
+
+    group_limit = MAX_GROUP_ROWS  # captured driver-side
+
+    rows = docs.map_batches(_bigram_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def _attach_c12(g: pa.Table) -> pa.Table:
+        c12 = int(pc.sum(g.column("m")).as_py())
+        return pa.table({
+            "w1": g.column("w1"),
+            "doc_id": g.column("doc_id"),
+            "m": g.column("m"),
+            "c12": pa.array(np.full(g.num_rows, c12, np.int64)),
+        })
+
+    _attach_c12.__name__ = "attach_c12"
+
+    def _attach_c1(g: pa.Table) -> pa.Table:
+        if g.num_rows > group_limit:
+            w1 = g.column("w1")[0].as_py()
+            raise ValueError(
+                f"bigram_lm_score: left context {w1!r} spans {g.num_rows} "
+                f"(doc, bigram) rows (> {group_limit}); salt the w1 group "
+                "by doc hash (windows.py pattern) before scoring"
+            )
+        m = g.column("m").to_numpy(zero_copy_only=False).astype(np.float64)
+        c12 = g.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = float(m.sum())
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "m": g.column("m"),
+            "lp": pa.array(m * np.log(c12 / c1), pa.float64()),
+        })
+
+    _attach_c1.__name__ = "attach_c1"
+
+    def _doc_avg(g: pa.Table) -> pa.Table:
+        m = g.column("m").to_numpy(zero_copy_only=False)
+        lp = g.column("lp").to_numpy(zero_copy_only=False)
+        n = int(m.sum())
+        return pa.table({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()], pa.int64()),
+            "avg_logprob": pa.array([round(float(lp.sum()) / n, 6)],
+                                    pa.float64()),
+            "n_bigrams": pa.array([n], pa.int64()),
+        })
+
+    _doc_avg.__name__ = "doc_avg_logprob"
+    return (
+        rows.groupby(["w1", "w2"]).map_groups(_attach_c12,
+                                              batch_format="pyarrow")
+        .groupby("w1").map_groups(_attach_c1, batch_format="pyarrow")
+        .groupby("doc_id").map_groups(_doc_avg, batch_format="pyarrow")
+    )
+
+
 def _segmented_pow64(base: np.uint64, exps: np.ndarray) -> np.ndarray:
     """base**exps mod 2^64 (natural wrap), vectorized exp-by-squaring."""
     result = np.ones(len(exps), np.uint64)

@@ -198,3 +198,72 @@ class TestTfidfStateMismatch:
         out = st.tfidf_from_state(
             ray.data.from_arrow(subset), root, k=3).to_pandas()
         assert set(out["doc_id"]) == {0}
+
+
+class TestStreamingBigramLM:
+    def _tbl(self, seed=13, n=45):
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(12)]
+        return _docs(np.arange(n), ["en"] * n,
+                     [" ".join(rng.choice(words, 9)) for _ in range(n)]
+                     ).select(["doc_id", "text"])
+
+    def _batch(self, tbl):
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bigram_lm_score,
+        )
+
+        return bigram_lm_score(ray.data.from_arrow(tbl)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def test_three_epochs_any_order_equal_batch(self, ray_session, tmp_path):
+        tbl = self._tbl()
+        ids = tbl.column("doc_id").to_numpy()
+        batch = self._batch(tbl)
+        for name, order in (("a", (0, 1, 2)), ("b", (2, 0, 1))):
+            root = str(tmp_path / f"bg_{name}")
+            for p in order:
+                st.bigram_counts_epoch(
+                    ray.data.from_arrow(tbl.filter(pa.array(ids % 3 == p))),
+                    root)
+            inc = st.lm_score_from_state(ray.data.from_arrow(tbl), root) \
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            assert inc.equals(batch), name
+
+    def test_subset_scoring_ok(self, ray_session, tmp_path):
+        tbl = self._tbl()
+        root = str(tmp_path / "bg")
+        st.bigram_counts_epoch(ray.data.from_arrow(tbl), root)
+        sub = tbl.slice(0, 5)
+        out = st.lm_score_from_state(ray.data.from_arrow(sub), root) \
+            .to_pandas()
+        assert set(out["doc_id"]) <= set(range(5))
+        batch = self._batch(tbl)
+        merged = out.sort_values("doc_id").reset_index(drop=True)
+        ref = batch[batch["doc_id"] < 5].reset_index(drop=True)
+        assert merged.equals(ref)
+
+    def test_unfolded_bigram_fails_loudly(self, ray_session, tmp_path):
+        root = str(tmp_path / "bg")
+        st.bigram_counts_epoch(
+            ray.data.from_arrow(_docs([0], ["en"], ["aa bb aa"]).select(
+                ["doc_id", "text"])), root)
+        rogue = _docs([1], ["en"], ["zz qq"]).select(["doc_id", "text"])
+        with pytest.raises(Exception, match="not in the folded bigram"):
+            st.lm_score_from_state(ray.data.from_arrow(rogue), root) \
+                .to_pandas()
+
+    def test_reshard_then_fold_equal_batch(self, ray_session, tmp_path):
+        tbl = self._tbl(seed=14)
+        ids = tbl.column("doc_id").to_numpy()
+        root = str(tmp_path / "bg")
+        st.bigram_counts_epoch(
+            ray.data.from_arrow(tbl.filter(pa.array(ids % 2 == 0))), root,
+            num_buckets=4)
+        r = st.reshard_bigram_state(root, 16)
+        assert r["num_buckets"] == 16
+        st.bigram_counts_epoch(
+            ray.data.from_arrow(tbl.filter(pa.array(ids % 2 == 1))), root)
+        inc = st.lm_score_from_state(ray.data.from_arrow(tbl), root) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert inc.equals(self._batch(tbl))

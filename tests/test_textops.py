@@ -206,3 +206,68 @@ class TestGopherQuality:
             .sort_values("doc_id").reset_index(drop=True)
         assert got.equals(want[got.columns])
         assert 0 < got["keep"].sum() < len(got)  # both branches exercised
+
+
+class TestBigramLM:
+    def test_tiny_known_probabilities(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bigram_lm_score,
+        )
+
+        # corpus bigrams: (a b) x2, (b a) x1, (b b) x1
+        # c(a,.) = 2, c(b,.) = 2 -> P(b|a)=1, P(a|b)=1/2, P(b|b)=1/2
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b a b", "b b"]),
+        })
+        out = {r["doc_id"]: r for r in
+               bigram_lm_score(ray.data.from_arrow(docs)).take_all()}
+        # doc 0: bigrams (a b), (b a), (a b) -> lps ln1, ln.5, ln1
+        assert out[0]["n_bigrams"] == 3
+        assert out[0]["avg_logprob"] == round(math.log(0.5) / 3, 6)
+        # doc 1: (b b) -> ln .5
+        assert out[1]["n_bigrams"] == 1
+        assert out[1]["avg_logprob"] == round(math.log(0.5), 6)
+
+    def test_single_token_docs_absent(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bigram_lm_score,
+        )
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["lonely", "two words"]),
+        })
+        out = bigram_lm_score(ray.data.from_arrow(docs)).take_all()
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.pipelines.data_queries import (
+            ORACLE_BIGRAM_LM,
+        )
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bigram_lm_score,
+        )
+        from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
+
+        docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        got = bigram_lm_score(docs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')")
+        want = con.execute(ORACLE_BIGRAM_LM).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want[got.columns])
