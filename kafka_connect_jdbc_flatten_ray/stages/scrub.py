@@ -190,20 +190,41 @@ def build_benchmark_bloom(
         text = t.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        h, _ = _shingle_hashes_words(text, k=n)
+        h = np.unique(_shingle_hashes_words(text, k=n)[0])
+        # ship whichever is smaller: the batch's distinct hashes (8 B
+        # each) or the fixed bitset. A small benchmark batch sending a
+        # full 16 MB bitset costs 1000x its information content — the
+        # object-store traffic (blocks x 16 MB) used to dominate the
+        # whole contamination query's wall time at bench scale.
+        if len(h) * 8 < m_bits // 8:
+            return pa.table({
+                "kind": pa.array(["hashes"]),
+                "payload": pa.array([h.tobytes()], pa.large_binary()),
+            })
         arr = np.zeros(m_bits // 8, np.uint8)
-        for p in _bloom_positions(np.unique(h), m_bits):
+        for p in _bloom_positions(h, m_bits):
             np.bitwise_or.at(
                 arr, (p >> np.uint64(3)).astype(np.int64),
                 (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
             )
-        return pa.table({"bloom": pa.array([arr.tobytes()], pa.large_binary())})
+        return pa.table({
+            "kind": pa.array(["bitset"]),
+            "payload": pa.array([arr.tobytes()], pa.large_binary()),
+        })
 
     acc = np.zeros(m_bits // 8, np.uint8)
     for row in benchmark.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     ).iter_rows():
-        acc |= np.frombuffer(row["bloom"], np.uint8)
+        if row["kind"] == "bitset":
+            acc |= np.frombuffer(row["payload"], np.uint8)
+        else:
+            h = np.frombuffer(row["payload"], np.uint64)
+            for p in _bloom_positions(h, m_bits):
+                np.bitwise_or.at(
+                    acc, (p >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
+                )
     return acc
 
 
