@@ -243,6 +243,24 @@ def main() -> None:
                       "equal": bool(inc_ann.equals(batch_ann)),
                       "sec": round(time.perf_counter() - t0, 1)}))
     assert inc_ann.equals(batch_ann), "incremental IVF probe diverged"
+
+    # incremental bigram-LM state: two epochs folded on the virtual
+    # cluster must score identically to the batch pass
+    from kafka_connect_jdbc_flatten_ray.stages.textops import bigram_lm_score
+
+    broot = tempfile.mkdtemp(prefix="multinode_bigramstate_")
+    dt_txt = dt_full.select(["doc_id", "text"])
+    t0 = time.perf_counter()
+    stm.bigram_counts_epoch(rd.from_arrow(dt_txt.slice(0, half)), broot)
+    stm.bigram_counts_epoch(rd.from_arrow(dt_txt.slice(half)), broot)
+    inc_lm = stm.lm_score_from_state(rd.from_arrow(dt_txt), broot) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    batch_lm = bigram_lm_score(rd.from_arrow(dt_txt)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    print(json.dumps({"incremental_lm_rows": len(inc_lm),
+                      "equal": bool(inc_lm.equals(batch_lm)),
+                      "sec": round(time.perf_counter() - t0, 1)}))
+    assert inc_lm.equals(batch_lm), "incremental bigram LM diverged"
     ray.shutdown()
     cluster.shutdown()
 
