@@ -197,7 +197,8 @@ def run_queries() -> dict:
                  "model_quality_scores", "ann_cosine_topk",
                  "semantic_dedup_keep", "dedup_exact_incremental",
                  "repetition_stats", "value_quantiles",
-                 "contamination_check"]:
+                 "contamination_check", "bigram_lm_score",
+                 "gopher_quality"]:
         t0 = time.perf_counter()
         ds = dqs[name](SF_DIR)
         if hasattr(ds, "count"):

@@ -267,3 +267,32 @@ class TestStreamingBigramLM:
         inc = st.lm_score_from_state(ray.data.from_arrow(tbl), root) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert inc.equals(self._batch(tbl))
+
+
+class TestBigramStateVacuum:
+    def test_vacuum_keeps_current_state(self, ray_session, tmp_path):
+        """The generic lake vacuum covers the bigram state family: old
+        epoch files go, the current state stays score-identical."""
+        from kafka_connect_jdbc_flatten_ray.pipelines.ingest import vacuum
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bigram_lm_score,
+        )
+
+        rng = np.random.default_rng(15)
+        words = [f"w{i}" for i in range(10)]
+        tbl = _docs(np.arange(30), ["en"] * 30,
+                    [" ".join(rng.choice(words, 8)) for _ in range(30)]
+                    ).select(["doc_id", "text"])
+        ids = tbl.column("doc_id").to_numpy()
+        root = str(tmp_path / "lake")
+        for p in range(3):
+            st.bigram_counts_epoch(
+                ray.data.from_arrow(tbl.filter(pa.array(ids % 3 == p))),
+                root)
+        removed = vacuum(root, keep_epochs=1)
+        assert removed.get(st.BIGRAM_TABLE, 0) > 0
+        inc = st.lm_score_from_state(ray.data.from_arrow(tbl), root) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        batch = bigram_lm_score(ray.data.from_arrow(tbl)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert inc.equals(batch)
