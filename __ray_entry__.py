@@ -28,6 +28,7 @@ _ORDER_R5 = [
     "gopher_quality",
     "bigram_lm_score",
     "bigram_lm_incremental",
+    "duplicated_spans",
     # code-touched this round (SemDeDup guard; Arrow top-k reduces;
     # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",

@@ -946,6 +946,14 @@ GROUP BY big.doc_id
 """
 
 
+def q_duplicated_spans(sf_dir: str):
+    """Duplicated-span statistics (Lee et al. 2021 exact substring-dedup
+    signal): width-4 token windows occurring >= 2 times in the corpus,
+    per doc — hash-only exchange, in-group corpus totals, zero-dup docs
+    re-attached via union+groupby (stages/dedup.duplicated_spans)."""
+    return dedup.duplicated_spans(_docs(sf_dir), width=4)
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rule quality filtering (Rae et al. 2021 §A1.1, document-
     level subset): per-doc metrics + composite keep flag, thresholds
@@ -1067,6 +1075,7 @@ def data_queries() -> dict:
         "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
+        "duplicated_spans": q_duplicated_spans,
         "bigram_lm_score": q_bigram_lm_score,
         "bigram_lm_incremental": q_bigram_lm_incremental,
         "repetition_stats": q_repetition_stats,
@@ -1142,6 +1151,7 @@ def data_oracles() -> dict:
         "label_centroids": ORACLE_LABEL_CENTROIDS,
         "text_quality": ORACLE_TEXT_QUALITY,
         "gopher_quality": _gopher_quality_sql(min_words=40),
+        "duplicated_spans": dedup_oracles.duplicated_spans_sql(4),
         "bigram_lm_score": ORACLE_BIGRAM_LM,
         # bigram-count folds are order-independent sums, so scoring
         # against the accumulated state equals the batch pass

@@ -687,3 +687,39 @@ SELECT CAST(grp AS BIGINT) AS "group",
        CAST(seq_idx AS BIGINT) AS seq_idx,
        CAST(least({seq_len}, total - seq_idx * {seq_len}) AS BIGINT) AS n_real
 FROM s"""
+
+
+def duplicated_spans_sql(n: int = 4) -> str:
+    """Oracle for dedup.duplicated_spans: a width-``n`` token window is
+    duplicated when its rolling hash occurs >= 2 times across the corpus
+    (within-doc repeats count — the Lee et al. 2021 substring-dedup
+    occurrence rule). Same n-way positional shingle mirror as
+    contamination_sql; dup_frac rounds to 6 decimals on both sides."""
+    ks = [(_A * pow(_B, n - 1, _M)) % _M] + [
+        (_C * pow(_B, n - 1 - i, _M)) % _M for i in range(1, n)
+    ]
+    joins = "\n  ".join(
+        f"JOIN th t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n)
+    )
+    terms = " + ".join(_mul(f"t{i}.th", ks[i]) for i in range(n))
+    return f"""WITH {_TH},
+shn AS (
+  SELECT t0.doc_id, ({terms}) % {_MSTR} AS sh
+  FROM th t0
+  {joins}
+),
+tot AS (SELECT sh, count(*) AS c FROM shn GROUP BY sh),
+per AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN t.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM shn s JOIN tot t USING (sh)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       round(CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+             / greatest(COALESCE(p.n_spans, 0), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""

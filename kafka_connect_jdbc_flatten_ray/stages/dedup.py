@@ -1173,3 +1173,101 @@ def semantic_dedup_keep(
     return assigned.groupby("ivf_bucket").map_groups(
         _prune, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span statistics (exact substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(docs: ray.data.Dataset, width: int = 8) -> ray.data.Dataset:
+    """Per-document duplicated-span statistics — the signal behind exact
+    substring deduplication (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): a ``width``-token window is
+    DUPLICATED when its rolling hash occurs >= 2 times across the whole
+    corpus (within-doc repeats count, matching the suffix-array
+    occurrence rule). Emits (doc_id, n_spans, n_dup_spans, dup_frac) with
+    dup_frac rounded to 6 decimals; docs shorter than ``width`` tokens
+    have n_spans = 0 and dup_frac 0.
+
+    100 TB shape: per-batch combiner reduces to one (h, doc_id, m) row
+    per distinct (doc, window-hash); the corpus total per hash is an
+    in-group sum on the (h) groupby (the bigram-LM trick — the corpus IS
+    the queried set, so no side table rides the exchange), and zero-dup
+    docs re-attach through the contamination tail's empty-block-safe
+    union + groupby-sum. Text bodies never shuffle."""
+    from ray.data.aggregate import Sum
+
+    def _window_rows(t: pa.Table) -> pa.Table:
+        text = _text_col(t)
+        h, parent = _shingle_hashes_words(text, k=width)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        did = ids[parent]
+        # per-doc distinct window hashes with multiplicity
+        tbl = pa.table({"h": pa.array(h.view(np.int64)),
+                        "doc_id": pa.array(did)})
+        agg = pa.TableGroupBy(tbl, ["h", "doc_id"]).aggregate(
+            [("doc_id", "count")]
+        ).rename_columns(["h", "doc_id", "m"])
+        return pa.table({
+            "h": agg.column("h"),
+            "doc_id": agg.column("doc_id"),
+            "m": pc.cast(agg.column("m"), pa.int64()),
+        })
+
+    def _mark_dups(g: pa.Table) -> pa.Table:
+        m = g.column("m").to_numpy(zero_copy_only=False)
+        total = int(m.sum())
+        if total < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_dup": g.column("m")})
+
+    _mark_dups.__name__ = "mark_dup_spans"
+
+    def _span_counts(t: pa.Table) -> pa.Table:
+        text = _text_col(t)
+        toks = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_spans = np.maximum(lens - (width - 1), 0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_dup": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+
+    dups = (
+        docs.map_batches(_window_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("h").map_groups(_mark_dups, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_spans": pa.array(np.zeros(t.num_rows, np.int64)),
+                "n_dup": t.column("n_dup"),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    zeros = docs.map_batches(_span_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    totals = zeros.union(dups).groupby("doc_id").aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("n_dup", alias_name="n_dup_spans"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_spans").to_numpy(zero_copy_only=False)
+        d = t.column("n_dup_spans").to_numpy(zero_copy_only=False)
+        frac = np.round(d / np.maximum(n, 1), 6)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_spans": pc.cast(t.column("n_spans"), pa.int64()),
+            "n_dup_spans": pc.cast(t.column("n_dup_spans"), pa.int64()),
+            "dup_frac": pa.array(frac, pa.float64()),
+        })
+
+    return totals.map_batches(_finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -280,3 +280,52 @@ class TestSemanticDedupScaleGuard:
         self._write(tmp_path, n=30)
         out = semantic_dedup_keep(str(tmp_path), threshold=0.99)
         assert len(out.take_all()) >= 1  # auto path end-to-end at tiny n
+
+
+class TestDuplicatedSpans:
+    def test_planted_duplicate_spans(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+            duplicated_spans,
+        )
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "a b c d e f",          # shares 'a b c d' with doc 1
+                "a b c d x y",
+                "p q r s t u",          # unique spans
+                "z z z z z",            # within-doc repeat: 'z z z z' x2
+            ]),
+        })
+        out = {r["doc_id"]: r for r in
+               duplicated_spans(ray.data.from_arrow(docs),
+                                width=4).take_all()}
+        # doc 0: spans (abcd, bcde, cdef); only abcd duplicated
+        assert (out[0]["n_spans"], out[0]["n_dup_spans"]) == (3, 1)
+        assert out[0]["dup_frac"] == round(1 / 3, 6)
+        assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (3, 1)
+        assert out[2]["n_dup_spans"] == 0
+        # doc 3: spans (zzzz, zzzz) — within-doc repeats count
+        assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (2, 2)
+
+    def test_short_docs_zero_spans(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+            duplicated_spans,
+        )
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["one two", "a much longer doc here ok"]),
+        })
+        out = {r["doc_id"]: r for r in
+               duplicated_spans(ray.data.from_arrow(docs),
+                                width=4).take_all()}
+        assert (out[0]["n_spans"], out[0]["dup_frac"]) == (0, 0.0)
+        assert out[1]["n_spans"] == 3
