@@ -29,6 +29,7 @@ _ORDER_R5 = [
     "bigram_lm_score",
     "bigram_lm_incremental",
     "duplicated_spans",
+    "dup_spans_incremental",
     # code-touched this round (SemDeDup guard; Arrow top-k reduces;
     # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",

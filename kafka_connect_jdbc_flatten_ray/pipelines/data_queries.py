@@ -954,6 +954,37 @@ def q_duplicated_spans(sf_dir: str):
     return dedup.duplicated_spans(_docs(sf_dir), width=4)
 
 
+def q_dup_spans_incremental(sf_dir: str):
+    """Streaming duplicated-spans: fold the corpus window-hash counts in
+    three epochs through lake-resident state, then score the corpus
+    against the accumulated counts — addition is commutative, so the
+    result equals batch duplicated_spans and shares its SQL oracle."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_dedup as sd
+
+    root = tempfile.mkdtemp(prefix="kcjf_span_state_")
+    ds = _docs(sf_dir)
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"span_epoch_part_{part}"
+        return _f
+
+    for part in (2, 1, 0):  # out-of-order folds: addition is commutative
+        sd.span_counts_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root, width=4,
+        )
+    return sd.dup_spans_from_state(_docs(sf_dir), root)
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rule quality filtering (Rae et al. 2021 §A1.1, document-
     level subset): per-doc metrics + composite keep flag, thresholds
@@ -1076,6 +1107,7 @@ def data_queries() -> dict:
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "duplicated_spans": q_duplicated_spans,
+        "dup_spans_incremental": q_dup_spans_incremental,
         "bigram_lm_score": q_bigram_lm_score,
         "bigram_lm_incremental": q_bigram_lm_incremental,
         "repetition_stats": q_repetition_stats,
@@ -1152,6 +1184,9 @@ def data_oracles() -> dict:
         "text_quality": ORACLE_TEXT_QUALITY,
         "gopher_quality": _gopher_quality_sql(min_words=40),
         "duplicated_spans": dedup_oracles.duplicated_spans_sql(4),
+        # span-count folds are order-independent sums, so scoring against
+        # the accumulated state equals the batch pass
+        "dup_spans_incremental": dedup_oracles.duplicated_spans_sql(4),
         "bigram_lm_score": ORACLE_BIGRAM_LM,
         # bigram-count folds are order-independent sums, so scoring
         # against the accumulated state equals the batch pass

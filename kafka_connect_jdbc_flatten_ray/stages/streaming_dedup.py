@@ -778,3 +778,243 @@ def reshard_embedding_state(state_root: str, new_num_buckets: int) -> dict:
     return reshard_splitmix_state(
         state_root, EMB_TABLE, "tb", _emb_schema(dim), new_num_buckets
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental duplicated-span statistics (window-hash count state)
+# ---------------------------------------------------------------------------
+
+SPAN_TABLE = "span_state"
+
+_SPAN_SCHEMA = pa.schema([("h", pa.int64()), ("count", pa.int64())])
+
+
+def span_counts_epoch(
+    docs: ray.data.Dataset,
+    state_root: str,
+    width: int = 4,
+    num_buckets: int = 32,
+) -> dict:
+    """Fold one epoch of documents into lake-resident width-``width``
+    token-window hash counts — the corpus statistic of
+    dedup.duplicated_spans. Per-batch combiner reduces to one (h, count)
+    partial per distinct window hash; rows route by splitmix64(h) % N
+    (window hashes are mod-2^64 polynomials, not uniform in their low
+    bits); folds sum counts. Addition is commutative: epochs fold in any
+    order, and :func:`dup_spans_from_state` equals batch
+    ``duplicated_spans`` over the union of the folded epochs. The stored
+    ``width`` is pinned in the manifest — folding a different width
+    would corrupt the statistic, so it fails loudly."""
+    from kafka_connect_jdbc_flatten_ray.functions.hashing import _splitmix64
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+        _shingle_hashes_words, _text_col,
+    )
+    from kafka_connect_jdbc_flatten_ray.stages.streaming_windows import (
+        MAX_FOLD_ROWS,
+    )
+
+    manifest = TableManifest(state_root, SPAN_TABLE)
+    m = manifest.load()
+    epoch = 0 if not m else int(m["epoch"]) + 1
+    num_buckets = _stored_num_buckets(m, num_buckets)
+    stored_width = int(((m or {}).get("partitioning") or {})
+                       .get("width", width))
+    if stored_width != width:
+        raise ValueError(
+            f"span_counts_epoch: state at {state_root} was built with "
+            f"width={stored_width}, got width={width} — widths cannot mix"
+        )
+    prior = {int(b): p for b, p in (m or {}).get("buckets", {}).items()}
+    fs, root = fsx.resolve(state_root)
+    fold_limit = MAX_FOLD_ROWS
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h, _ = _shingle_hashes_words(_text_col(t), k=width)
+        hu, cnt = np.unique(h, return_counts=True)
+        out = pa.table({"h": pa.array(hu.view(np.int64)),
+                        "count": pa.array(cnt.astype(np.int64))})
+        b = _splitmix64(hu) % np.uint64(num_buckets)
+        return out.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    def _fold(g: pa.Table) -> pa.Table:
+        bucket = int(g.column("__bucket")[0].as_py())
+        g = g.drop_columns(["__bucket"])
+        _guard_fold(g.num_rows, "span_counts_epoch", num_buckets, fold_limit)
+        out_dir = fsx.join(root, SPAN_TABLE, f"bucket={bucket:05d}")
+        fsx.makedirs(fs, out_dir)
+        state_path = fsx.join(out_dir, f"epoch-{epoch:06d}.parquet")
+        staged = fsx.staging_path(fs, state_path)
+        hv = g.column("h").to_numpy(zero_copy_only=False)
+        cnt = g.column("count").to_numpy(zero_copy_only=False)
+        touched = np.unique(hv)
+        state, writer, carried = _split_prior_state(
+            fs, prior.get(bucket), "h", touched, _SPAN_SCHEMA, staged
+        )
+        idx = np.searchsorted(touched, hv)
+        sums = np.zeros(len(touched), np.int64)
+        np.add.at(sums, idx, cnt)
+        if state is not None and state.num_rows:
+            svb = state.column("h").to_numpy(zero_copy_only=False)
+            scnt = state.column("count").to_numpy(zero_copy_only=False)
+            np.add.at(sums, np.searchsorted(touched, svb), scnt)
+        out = pa.table({"h": pa.array(touched, pa.int64()),
+                        "count": pa.array(sums, pa.int64())})
+        writer.write_table(out.cast(_SPAN_SCHEMA))
+        writer.close()
+        fsx.publish_file(fs, staged, state_path)
+        return pa.table({
+            "bucket": [bucket],
+            "state_path": [state_path],
+            "spans": [len(touched) + carried],
+            "epoch_count": [int(cnt.sum())],
+        })
+
+    _fold.__name__ = "span_fold"
+    nonce = manifest.claim_epoch(epoch)
+    try:
+        stats = (
+            docs.map_batches(_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(_fold, batch_format="pyarrow")
+            .take_all()
+        )
+    except Exception:
+        manifest.abandon_epoch(epoch)
+        raise
+    bucket_files = {int(r["bucket"]): r["state_path"] for r in stats}
+    totals = {k: int(sum(r[k] for r in stats))
+              for k in ("spans", "epoch_count")}
+    manifest.publish(
+        epoch, bucket_files, totals,
+        partitioning={"num_buckets": num_buckets, "key_pk_cols": ["h"],
+                      "hash_version": 2, "width": width},
+        claim_nonce=nonce,
+    )
+    return {"epoch": epoch, "buckets": len(bucket_files), **totals}
+
+
+def dup_spans_from_state(
+    docs: ray.data.Dataset, state_root: str
+) -> ray.data.Dataset:
+    """Per-doc duplicated-span statistics against the ACCUMULATED window
+    counts — equal to batch ``duplicated_spans`` over the union of the
+    folded epochs when ``docs`` is that union, sharing its SQL oracle
+    verbatim. One hash groupby: doc rows (h, doc_id, m) meet state rows
+    (h, -1, count); a window duplicated iff the STATE total >= 2. A doc
+    window absent from the state fails loudly (the folded union must
+    cover the scored docs)."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+        _shingle_hashes_words, _text_col,
+    )
+
+    manifest = TableManifest(state_root, SPAN_TABLE)
+    m = manifest.load()
+    if not m:
+        raise ValueError(f"no {SPAN_TABLE} manifest at {state_root}")
+    width = int((m.get("partitioning") or {}).get("width", 4))
+    fs, _ = fsx.resolve(state_root)
+    files = sorted(manifest.current_files().values())
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        h, parent = _shingle_hashes_words(_text_col(t), k=width)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tbl = pa.table({"h": pa.array(h.view(np.int64)),
+                        "doc_id": pa.array(ids[parent])})
+        agg = pa.TableGroupBy(tbl, ["h", "doc_id"]).aggregate(
+            [("doc_id", "count")]
+        ).rename_columns(["h", "doc_id", "m"])
+        return pa.table({"h": agg.column("h"),
+                         "doc_id": agg.column("doc_id"),
+                         "m": pc2.cast(agg.column("m"), pa.int64())})
+
+    def _state_rows(t: pa.Table) -> pa.Table:
+        if "bucket" in t.schema.names:
+            t = t.drop_columns(["bucket"])
+        return pa.table({
+            "h": t.column("h"),
+            "doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "m": t.column("count"),
+        })
+
+    def _mark(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        mv = g.column("m").to_numpy(zero_copy_only=False)
+        is_state = did == -1
+        if not is_state.any():
+            raise ValueError(
+                "dup_spans_from_state: a scored doc's window hash is not "
+                "in the folded span state — fold the docs' epoch(s) first "
+                "(docs must be a subset of the folded union)"
+            )
+        total = int(mv[is_state].sum())
+        keep = ~is_state
+        if total < 2 or not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(did[keep]),
+                         "n_dup": pa.array(mv[keep])})
+
+    _mark.__name__ = "mark_dup_spans_state"
+
+    def _span_counts(t: pa.Table) -> pa.Table:
+        toks = pc2.split_pattern(_text_col(t), " ")
+        lens = pc2.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_spans": pa.array(np.maximum(lens - (width - 1), 0),
+                                pa.int64()),
+            "n_dup": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+
+    dr = docs.map_batches(_doc_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    sr = read_parquet_clean(files, filesystem=fs,
+                            columns=["h", "count"]).map_batches(
+        _state_rows, batch_format="pyarrow", zero_copy_batch=True)
+    dups = dr.union(sr).groupby("h").map_groups(
+        _mark, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_spans": pa.array(np.zeros(t.num_rows, np.int64)),
+            "n_dup": t.column("n_dup"),
+        }),
+        batch_format="pyarrow",
+    )
+    zeros = docs.map_batches(_span_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    totals = zeros.union(dups).groupby("doc_id").aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("n_dup", alias_name="n_dup_spans"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_spans").to_numpy(zero_copy_only=False)
+        d = t.column("n_dup_spans").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_spans": pc2.cast(t.column("n_spans"), pa.int64()),
+            "n_dup_spans": pc2.cast(t.column("n_dup_spans"), pa.int64()),
+            "dup_frac": pa.array(np.round(d / np.maximum(n, 1), 6),
+                                 pa.float64()),
+        })
+
+    return totals.map_batches(_finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def reshard_span_state(state_root: str, new_num_buckets: int) -> dict:
+    """Re-bucket the span-count state (splitmix64(h) routing, like the
+    quantile value state)."""
+    from kafka_connect_jdbc_flatten_ray.stages.state_reshard import (
+        reshard_splitmix_state,
+    )
+
+    return reshard_splitmix_state(
+        state_root, SPAN_TABLE, "h", _SPAN_SCHEMA, new_num_buckets
+    )

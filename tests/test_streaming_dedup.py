@@ -389,3 +389,83 @@ class TestIncrementalIVFIndex:
         for qi, q in enumerate(ids[:2]):
             hit_ids = out[out.query_id == q].vec_id.to_numpy()
             assert set(assign[hit_ids]) == {probe[qi]}
+
+
+class TestStreamingDupSpans:
+    def _tbl(self, seed=16, n=40):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(8)]
+        return pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array([" ".join(rng.choice(words, 10))
+                              for _ in range(n)]),
+        })
+
+    def _batch(self, tbl):
+        from kafka_connect_jdbc_flatten_ray.stages.dedup import (
+            duplicated_spans,
+        )
+
+        return duplicated_spans(ray.data.from_arrow(tbl), width=4) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def test_any_order_folds_equal_batch(self, ray_session, tmp_path):
+        import numpy as np  # noqa: F401
+        import kafka_connect_jdbc_flatten_ray.stages.streaming_dedup as sd
+
+        tbl = self._tbl()
+        ids = tbl.column("doc_id").to_numpy()
+        batch = self._batch(tbl)
+        for name, order in (("a", (0, 1, 2)), ("b", (1, 2, 0))):
+            root = str(tmp_path / f"sp_{name}")
+            for p in order:
+                sd.span_counts_epoch(
+                    ray.data.from_arrow(tbl.filter(pa.array(ids % 3 == p))),
+                    root, width=4)
+            inc = sd.dup_spans_from_state(ray.data.from_arrow(tbl), root) \
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            assert inc.equals(batch), name
+
+    def test_width_mismatch_refused(self, ray_session, tmp_path):
+        import pytest
+        import kafka_connect_jdbc_flatten_ray.stages.streaming_dedup as sd
+
+        root = str(tmp_path / "sp")
+        sd.span_counts_epoch(ray.data.from_arrow(self._tbl()), root, width=4)
+        with pytest.raises(ValueError, match="width"):
+            sd.span_counts_epoch(ray.data.from_arrow(self._tbl()), root,
+                                 width=5)
+
+    def test_reshard_then_fold_equal_batch(self, ray_session, tmp_path):
+        import kafka_connect_jdbc_flatten_ray.stages.streaming_dedup as sd
+
+        tbl = self._tbl(seed=17)
+        ids = tbl.column("doc_id").to_numpy()
+        root = str(tmp_path / "sp")
+        sd.span_counts_epoch(
+            ray.data.from_arrow(tbl.filter(pa.array(ids % 2 == 0))), root,
+            width=4, num_buckets=4)
+        r = sd.reshard_span_state(root, 16)
+        assert r["num_buckets"] == 16
+        sd.span_counts_epoch(
+            ray.data.from_arrow(tbl.filter(pa.array(ids % 2 == 1))), root,
+            width=4)
+        inc = sd.dup_spans_from_state(ray.data.from_arrow(tbl), root) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert inc.equals(self._batch(tbl))
+
+    def test_unfolded_window_fails_loudly(self, ray_session, tmp_path):
+        import pytest
+        import kafka_connect_jdbc_flatten_ray.stages.streaming_dedup as sd
+
+        root = str(tmp_path / "sp")
+        sd.span_counts_epoch(ray.data.from_arrow(self._tbl()), root, width=4)
+        rogue = pa.table({
+            "doc_id": pa.array([999], pa.int64()),
+            "text": pa.array(["zz qq rr ss tt uu"]),
+        })
+        with pytest.raises(Exception, match="not in the folded span"):
+            sd.dup_spans_from_state(ray.data.from_arrow(rogue), root) \
+                .to_pandas()
