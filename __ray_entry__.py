@@ -30,6 +30,7 @@ _ORDER_R5 = [
     "bigram_lm_incremental",
     "duplicated_spans",
     "dup_spans_incremental",
+    "bpe_merges",
     # code-touched this round (SemDeDup guard; Arrow top-k reduces;
     # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",

@@ -1108,6 +1108,7 @@ def data_queries() -> dict:
         "gopher_quality": q_gopher_quality,
         "duplicated_spans": q_duplicated_spans,
         "dup_spans_incremental": q_dup_spans_incremental,
+        "bpe_merges": q_bpe_merges,
         "bigram_lm_score": q_bigram_lm_score,
         "bigram_lm_incremental": q_bigram_lm_incremental,
         "repetition_stats": q_repetition_stats,
@@ -1187,6 +1188,8 @@ def data_oracles() -> dict:
         # span-count folds are order-independent sums, so scoring against
         # the accumulated state equals the batch pass
         "dup_spans_incremental": dedup_oracles.duplicated_spans_sql(4),
+        # each BPE merge unrolled as a greedy string-replace CTE stage
+        "bpe_merges": bpe_merges_sql(8),
         "bigram_lm_score": ORACLE_BIGRAM_LM,
         # bigram-count folds are order-independent sums, so scoring
         # against the accumulated state equals the batch pass
@@ -1256,3 +1259,67 @@ def data_oracles() -> dict:
         # unnest means + renormalization); also recall-tested vs brute force
         "ann_topk_ivf_kmeans": dedup_oracles.ivf_kmeans_topk_sql(),
     }
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE merge training (Sennrich et al. 2016): 8 merges over the
+    corpus — distributed word-frequency count, then deterministic greedy
+    merges on the compact vocab (stages/textops.bpe_merges)."""
+    from kafka_connect_jdbc_flatten_ray.stages.textops import bpe_merges
+
+    return bpe_merges(_docs(sf_dir), num_merges=8)
+
+
+def bpe_merges_sql(num_merges: int = 8) -> str:
+    """Oracle for textops.bpe_merges, each merge unrolled as one CTE
+    stage (the kmeans-Lloyd's-unroll trick): words become symbol strings
+    ``' c1  c2  c3 '`` (single space wrapping each symbol, so the pair
+    pattern ``' x  y '`` is exact and DuckDB's left-to-right
+    non-overlapping replace() IS greedy BPE application — verified on
+    the aaa/(a,a) overlap case); pair counts come from the positional
+    self-join over the split symbols; argmax ties break (l ASC, r ASC)
+    like the engine."""
+    # every stage CTE is MATERIALIZED: the scalar subqueries referencing
+    # m{{i}} would otherwise be INLINED by DuckDB's optimizer, re-deriving
+    # the whole chain per reference (4 refs/stage -> 4^k scans of
+    # documents — observed as an fd explosion at k=8)
+    ctes = ["""w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY word) AS wid,
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s,
+         c
+  FROM w0
+)"""]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        ctes.append(f"""sy{i} AS MATERIALIZED (
+  SELECT wid, c,
+         unnest(string_split(trim(s), '  ')) AS sym,
+         generate_subscripts(string_split(trim(s), '  '), 1) AS pos
+  FROM s{p}
+),
+m{i} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.c) AS BIGINT) AS pc
+  FROM sy{i} a JOIN sy{i} b ON b.wid = a.wid AND b.pos = a.pos + 1
+  GROUP BY a.sym, b.sym
+  ORDER BY pc DESC, l, r LIMIT 1
+),
+s{i} AS MATERIALIZED (
+  SELECT wid,
+         replace(s, ' ' || (SELECT l FROM m{i}) || '  '
+                      || (SELECT r FROM m{i}) || ' ',
+                 ' ' || (SELECT l FROM m{i})
+                      || (SELECT r FROM m{i}) || ' ') AS s,
+         c
+  FROM s{p}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS \"left\", r AS \"right\","
+        f" pc AS pair_count FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel

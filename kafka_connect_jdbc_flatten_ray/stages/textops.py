@@ -505,3 +505,121 @@ def tfidf_top_terms(
     return scored.groupby("doc_id").map_groups(
         _doc_topk_fn(k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer prep)
+# ---------------------------------------------------------------------------
+
+#: loud bound on the driver-side vocabulary (distinct words). BPE trains
+#: on the word-FREQUENCY table, which is Heaps'-law sublinear in corpus
+#: size — the classic Sennrich setup — so the distributed part is the
+#: word count and only the compact vocab reaches the driver.
+MAX_BPE_VOCAB = 5_000_000
+
+
+def _bpe_greedy_merge(sym: np.ndarray, starts: np.ndarray,
+                      pair: tuple[str, str]) -> tuple[np.ndarray, np.ndarray]:
+    """Apply one merge greedily left-to-right to every word at once.
+    ``sym`` = flat symbol array, ``starts`` = word start offsets (ends
+    with len(sym)). Vectorized: match positions, resolve overlapping runs
+    by keeping even positions within each run (= left-to-right greedy),
+    then rebuild the flat array with the right-hand symbols dropped."""
+    n = len(sym)
+    if n < 2:
+        return sym, starts
+    word_of = np.searchsorted(starts, np.arange(n), side="right")
+    m = np.zeros(n, bool)
+    m[:-1] = (sym[:-1] == pair[0]) & (sym[1:] == pair[1]) \
+        & (word_of[:-1] == word_of[1:])
+    if not m.any():
+        return sym, starts
+    # greedy within runs of consecutive matches: keep every other match
+    idx = np.flatnonzero(m)
+    run_start = idx[np.concatenate(([True], np.diff(idx) != 1))]
+    run_id = np.cumsum(np.concatenate(([True], np.diff(idx) != 1))) - 1
+    keep = idx[(idx - run_start[run_id]) % 2 == 0]
+    merged = np.zeros(n, bool)
+    merged[keep] = True          # position i becomes pair[0]+pair[1]
+    drop = np.zeros(n, bool)
+    drop[keep + 1] = True        # position i+1 disappears
+    out = sym.astype(object).copy()
+    out[merged] = pair[0] + pair[1]
+    keep_mask = ~drop
+    # new word starts: count of surviving symbols before each old start
+    surv_before = np.concatenate(([0], np.cumsum(keep_mask)))
+    new_starts = surv_before[starts]
+    return out[keep_mask], new_starts
+
+
+def bpe_merges(
+    docs: ray.data.Dataset, num_merges: int = 8, text: str = "text"
+) -> "pd.DataFrame":
+    """Train ``num_merges`` BPE merges (Sennrich et al. 2016) over the
+    corpus and return them as (rank, left, right, pair_count), fully
+    deterministic: each step merges the adjacent symbol pair with the
+    highest total frequency, ties broken (left ASC, right ASC).
+
+    100 TB shape: the DISTRIBUTED pass is a word-frequency count (the
+    per-batch combiner emits (word, count) partials; only those shuffle).
+    Training then runs on the compact Heaps'-law vocabulary driver-side,
+    vectorized numpy over the flat symbol array — guarded loudly at
+    MAX_BPE_VOCAB distinct words. Word-internal merges only (no
+    end-of-word marker), matching the SQL oracle's greedy string-replace
+    unroll stage for stage."""
+    import pandas as pd
+
+    def _word_partial(t: pa.Table) -> pa.Table:
+        txt = t.column(text)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        agg = pa.TableGroupBy(pa.table({"word": flat}), ["word"]).aggregate(
+            [("word", "count")]
+        ).rename_columns(["word", "count"])
+        return pa.table({"word": agg.column("word"),
+                         "count": pc.cast(agg.column("count"), pa.int64())})
+
+    vocab_rows = (
+        docs.map_batches(_word_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("word").sum("count")
+        .take_all()
+    )
+    if len(vocab_rows) > MAX_BPE_VOCAB:
+        raise ValueError(
+            f"bpe_merges: vocabulary has {len(vocab_rows)} distinct words "
+            f"(> {MAX_BPE_VOCAB}); raise MAX_BPE_VOCAB or pre-filter the "
+            "corpus (the word-frequency table must fit the driver)"
+        )
+    words = [r["word"] for r in vocab_rows]
+    wcount = np.array([r["sum(count)"] for r in vocab_rows], np.int64)
+    # flat symbol array over the vocab (one entry per char initially)
+    sym = np.array([c for w in words for c in w], dtype=object)
+    lens = np.array([len(w) for w in words], np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))  # len == vocab+1
+
+    merges = []
+    for rank in range(1, num_merges + 1):
+        n = len(sym)
+        if n < 2:
+            break
+        word_of = np.searchsorted(starts, np.arange(n), side="right")
+        valid = np.zeros(n, bool)
+        valid[:-1] = word_of[:-1] == word_of[1:]
+        li = np.flatnonzero(valid)
+        if not len(li):
+            break
+        left, right = sym[li], sym[li + 1]
+        w = wcount[word_of[li] - 1]
+        key = pd.DataFrame({"l": left.astype(str), "r": right.astype(str),
+                            "c": w})
+        agg = key.groupby(["l", "r"], as_index=False)["c"].sum()
+        agg = agg.sort_values(["c", "l", "r"],
+                              ascending=[False, True, True])
+        best = agg.iloc[0]
+        merges.append((rank, best["l"], best["r"], int(best["c"])))
+        sym, starts = _bpe_greedy_merge(sym, starts, (best["l"], best["r"]))
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right", "pair_count"])

@@ -271,3 +271,87 @@ class TestBigramLM:
         want = con.execute(ORACLE_BIGRAM_LM).df() \
             .sort_values("doc_id").reset_index(drop=True)
         assert got.equals(want[got.columns])
+
+
+class TestBPEMerges:
+    def _naive_bpe(self, word_counts, k):
+        """Deliberately-naive reference: dict-of-tuples symbol sequences,
+        greedy left-to-right merge application."""
+        vocab = {w: list(w) for w in word_counts}
+
+        merges = []
+        for rank in range(1, k + 1):
+            pairs = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pairs[p] = pairs.get(p, 0) + word_counts[w]
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((rank, l, r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_matches_naive_reference(self, ray_session, sf_dir):
+        import collections
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import bpe_merges
+        from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
+
+        docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        got = [tuple(r) for r in bpe_merges(docs, num_merges=10)
+               .itertuples(index=False)]
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        wc = collections.Counter(
+            w for s in t.column("text").to_pylist() for w in s.split(" "))
+        assert got == self._naive_bpe(wc, 10)
+
+    def test_overlap_greedy(self, ray_session):
+        """'aaa' with merge (a,a): greedy left-to-right yields [aa, a] —
+        the second merge then pairs (aa, a)."""
+        import pyarrow as pa
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import bpe_merges
+
+        docs = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["aaa aaa aaa"]),
+        })
+        got = [tuple(r) for r in
+               bpe_merges(ray.data.from_arrow(docs), num_merges=2)
+               .itertuples(index=False)]
+        # per word 'aaa': pairs (a,a) x2, count 3 words -> 6
+        assert got[0] == (1, "a", "a", 6)
+        # after merge: [aa, a] per word -> pair (aa, a) x3
+        assert got[1] == (2, "aa", "a", 3)
+
+    def test_vocab_guard(self, ray_session, monkeypatch):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        import kafka_connect_jdbc_flatten_ray.stages.textops as tx
+
+        monkeypatch.setattr(tx, "MAX_BPE_VOCAB", 2)
+        docs = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["one two three four"]),
+        })
+        with pytest.raises(ValueError, match="MAX_BPE_VOCAB"):
+            tx.bpe_merges(ray.data.from_arrow(docs), num_merges=2)
