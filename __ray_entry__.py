@@ -31,6 +31,7 @@ _ORDER_R5 = [
     "duplicated_spans",
     "dup_spans_incremental",
     "bpe_merges",
+    "bpe_encode",
     # code-touched this round (SemDeDup guard; Arrow top-k reduces;
     # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",

@@ -1109,6 +1109,7 @@ def data_queries() -> dict:
         "duplicated_spans": q_duplicated_spans,
         "dup_spans_incremental": q_dup_spans_incremental,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "bigram_lm_score": q_bigram_lm_score,
         "bigram_lm_incremental": q_bigram_lm_incremental,
         "repetition_stats": q_repetition_stats,
@@ -1190,6 +1191,7 @@ def data_oracles() -> dict:
         "dup_spans_incremental": dedup_oracles.duplicated_spans_sql(4),
         # each BPE merge unrolled as a greedy string-replace CTE stage
         "bpe_merges": bpe_merges_sql(8),
+        "bpe_encode": bpe_encode_sql(8),
         "bigram_lm_score": ORACLE_BIGRAM_LM,
         # bigram-count folds are order-independent sums, so scoring
         # against the accumulated state equals the batch pass
@@ -1323,3 +1325,55 @@ s{i} AS MATERIALIZED (
         for i in range(1, num_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def q_bpe_encode(sf_dir: str):
+    """Token counts under the 8-merge trained BPE tokenizer: train
+    (distributed word counts + compact-vocab merges), broadcast the tiny
+    merge list, apply per batch with the trainer's vectorized greedy
+    kernel (stages/textops.bpe_encode_counts)."""
+    from kafka_connect_jdbc_flatten_ray.stages.textops import (
+        bpe_encode_counts, bpe_merges,
+    )
+
+    merges = bpe_merges(_docs(sf_dir), num_merges=8)
+    return bpe_encode_counts(_docs(sf_dir), merges)
+
+
+def bpe_encode_sql(num_merges: int = 8) -> str:
+    """Oracle for q_bpe_encode: the training CTE chain of bpe_merges_sql
+    (merges recomputed in SQL), then the same greedy string-replace
+    stages applied to every document's words, counting the surviving
+    symbols per doc (empty words count zero)."""
+    train = bpe_merges_sql(num_merges)
+    ctes = train.split("\nSELECT CAST(1", 1)[0]  # keep WITH ... chain only
+    apply = [""",
+dwords AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+d0 AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+  FROM dwords
+)"""]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        apply.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s, ' ' || (SELECT l FROM m{i}) || '  '
+                      || (SELECT r FROM m{i}) || ' ',
+                 ' ' || (SELECT l FROM m{i})
+                      || (SELECT r FROM m{i}) || ' ') AS s
+  FROM d{p}
+)""")
+    return (
+        ctes + "".join(apply)
+        + f"""
+SELECT doc_id,
+       CAST(SUM(CASE WHEN trim(s) = '' THEN 0
+                ELSE len(string_split(trim(s), '  ')) END) AS BIGINT)
+         AS n_bpe_tokens
+FROM d{num_merges}
+GROUP BY doc_id"""
+    )

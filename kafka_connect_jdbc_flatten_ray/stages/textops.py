@@ -623,3 +623,52 @@ def bpe_merges(
         sym, starts = _bpe_greedy_merge(sym, starts, (best["l"], best["r"]))
     return pd.DataFrame(merges,
                         columns=["rank", "left", "right", "pair_count"])
+
+
+def bpe_encode_counts(
+    docs: ray.data.Dataset,
+    merges: "pd.DataFrame | list[tuple[str, str]]",
+    text: str = "text",
+) -> ray.data.Dataset:
+    """Apply trained BPE merges (in rank order) to every document and
+    count the resulting tokens — the trained-tokenizer analogue of
+    TokenCount. The merge list is tiny and broadcast once (ray.put);
+    each batch builds ONE flat symbol array over all its docs' words
+    (word boundaries stop merges, doc boundaries are implied) and applies
+    the merges with the same vectorized greedy run-resolution the trainer
+    uses — no per-doc Python in the merge loop."""
+    import pandas as pd
+    import ray as _ray
+
+    if isinstance(merges, pd.DataFrame):
+        pairs = [(l, r) for l, r in zip(merges["left"], merges["right"])]
+    else:
+        pairs = list(merges)
+    mref = _ray.put(pairs)
+
+    def _encode(t: pa.Table) -> pa.Table:
+        ms = _ray.get(mref)
+        txt = t.column(text)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = t.num_rows
+        flat, parent, lens = _tokens(txt)
+        words = flat.to_pylist()
+        sym = np.array([c for w in words for c in w], dtype=object)
+        wlens = np.fromiter((len(w) for w in words), np.int64, len(words))
+        starts = np.concatenate(([0], np.cumsum(wlens)))
+        for pair in ms:
+            sym, starts = _bpe_greedy_merge(sym, starts, pair)
+        # tokens per word = diff of starts; sum per doc
+        per_word = np.diff(starts)
+        out = np.zeros(n, np.int64)
+        if len(per_word):
+            np.add.at(out, parent, per_word)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": pa.array(out, pa.int64()),
+        })
+
+    _encode.__name__ = "bpe_encode"
+    return docs.map_batches(_encode, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -355,3 +355,26 @@ class TestBPEMerges:
         })
         with pytest.raises(ValueError, match="MAX_BPE_VOCAB"):
             tx.bpe_merges(ray.data.from_arrow(docs), num_merges=2)
+
+
+class TestBPEEncode:
+    def test_counts_match_naive_apply(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bpe_encode_counts,
+        )
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["abab ab", "aaa", ""]),
+        })
+        # merges: (a,b) then (ab,ab)
+        out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode_counts(
+            ray.data.from_arrow(docs), [("a", "b"), ("ab", "ab")]
+        ).take_all()}
+        # 'abab' -> [ab, ab] -> [abab] (1); 'ab' -> [ab] (1) => doc0 = 2
+        # 'aaa' -> no merges apply => 3 symbols
+        # '' -> one empty word, zero symbols
+        assert out == {0: 2, 1: 3, 2: 0}
