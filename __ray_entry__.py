@@ -32,6 +32,7 @@ _ORDER_R5 = [
     "dup_spans_incremental",
     "bpe_merges",
     "bpe_encode",
+    "bpe_merges_incremental",
     # code-touched this round (SemDeDup guard; Arrow top-k reduces;
     # quantile guard + int64 exactness; tfidf loud-failure; pandas-hop)
     "semantic_dedup_keep",

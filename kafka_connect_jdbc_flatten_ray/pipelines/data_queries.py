@@ -1110,6 +1110,7 @@ def data_queries() -> dict:
         "dup_spans_incremental": q_dup_spans_incremental,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "bpe_merges_incremental": q_bpe_merges_incremental,
         "bigram_lm_score": q_bigram_lm_score,
         "bigram_lm_incremental": q_bigram_lm_incremental,
         "repetition_stats": q_repetition_stats,
@@ -1192,6 +1193,9 @@ def data_oracles() -> dict:
         # each BPE merge unrolled as a greedy string-replace CTE stage
         "bpe_merges": bpe_merges_sql(8),
         "bpe_encode": bpe_encode_sql(8),
+        # term-count folds are order-independent sums and training is
+        # deterministic, so state-trained merges equal the batch pass
+        "bpe_merges_incremental": bpe_merges_sql(8),
         "bigram_lm_score": ORACLE_BIGRAM_LM,
         # bigram-count folds are order-independent sums, so scoring
         # against the accumulated state equals the batch pass
@@ -1270,6 +1274,39 @@ def q_bpe_merges(sf_dir: str):
     from kafka_connect_jdbc_flatten_ray.stages.textops import bpe_merges
 
     return bpe_merges(_docs(sf_dir), num_merges=8)
+
+
+def q_bpe_merges_incremental(sf_dir: str):
+    """Streaming BPE training: fold the corpus term counts in three
+    epochs through the lake-resident term state, then train from the
+    accumulated vocabulary — counts are order-independent sums and
+    training is deterministic, so the result equals batch bpe_merges and
+    shares its SQL oracle verbatim."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_connect_jdbc_flatten_ray.stages import streaming_terms as st
+
+    root = tempfile.mkdtemp(prefix="kcjf_bpe_term_state_")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+
+    def _part(part: int):
+        def _f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == part))
+
+        _f.__name__ = f"bpe_epoch_part_{part}"
+        return _f
+
+    for part in (1, 0, 2):  # out-of-order folds: addition is commutative
+        st.term_counts_epoch(
+            ds.map_batches(_part(part), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            root,  # grouped by lang; the vocab read sums over groups
+        )
+    return st.bpe_merges_from_state(root, num_merges=8)
 
 
 def bpe_merges_sql(num_merges: int = 8) -> str:

@@ -675,3 +675,30 @@ def reshard_bigram_state(state_root: str, new_num_buckets: int) -> dict:
     return reshard_modulo_state(
         state_root, BIGRAM_TABLE, "gh", _BG_SCHEMA, new_num_buckets
     )
+
+
+def bpe_merges_from_state(state_root: str, num_merges: int = 8):
+    """Train BPE merges from the ACCUMULATED term-count state — equal to
+    batch ``textops.bpe_merges`` over the union of the folded epochs
+    (word counts are order-independent sums; training is deterministic),
+    so it shares that query's SQL oracle verbatim. The distributed work
+    already happened at fold time; this read aggregates the per-(group,
+    token) state down to (token, count) and trains on the compact
+    vocabulary driver-side with the same loud MAX_BPE_VOCAB bound."""
+    from kafka_connect_jdbc_flatten_ray.stages.textops import (
+        MAX_BPE_VOCAB, _train_from_vocab,
+    )
+
+    rows = (
+        read_term_counts(state_root)
+        .groupby("token").sum("count")
+        .take_all()
+    )
+    if len(rows) > MAX_BPE_VOCAB:
+        raise ValueError(
+            f"bpe_merges_from_state: vocabulary has {len(rows)} distinct "
+            f"words (> {MAX_BPE_VOCAB}); raise MAX_BPE_VOCAB or pre-filter"
+        )
+    words = [r["token"] for r in rows]
+    counts = np.array([r["sum(count)"] for r in rows], np.int64)
+    return _train_from_vocab(words, counts, num_merges)

@@ -595,6 +595,17 @@ def bpe_merges(
         )
     words = [r["word"] for r in vocab_rows]
     wcount = np.array([r["sum(count)"] for r in vocab_rows], np.int64)
+    return _train_from_vocab(words, wcount, num_merges)
+
+
+def _train_from_vocab(
+    words: list, wcount: np.ndarray, num_merges: int
+) -> "pd.DataFrame":
+    """Driver-side BPE training over a compact (word, count) vocabulary —
+    shared by batch :func:`bpe_merges` and the term-state read path
+    (streaming_terms.bpe_merges_from_state)."""
+    import pandas as pd
+
     # flat symbol array over the vocab (one entry per char initially)
     sym = np.array([c for w in words for c in w], dtype=object)
     lens = np.array([len(w) for w in words], np.int64)

@@ -296,3 +296,22 @@ class TestBigramStateVacuum:
         batch = bigram_lm_score(ray.data.from_arrow(tbl)) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert inc.equals(batch)
+
+
+class TestBPEFromState:
+    def test_any_order_folds_equal_batch(self, ray_session, tmp_path):
+        from kafka_connect_jdbc_flatten_ray.stages.textops import bpe_merges
+
+        tbl = _corpus(seed=7, n=60)
+        ids = tbl.column("doc_id").to_numpy()
+        batch = bpe_merges(
+            ray.data.from_arrow(tbl.select(["doc_id", "text"])),
+            num_merges=6)
+        for name, order in (("a", (0, 1, 2)), ("b", (2, 1, 0))):
+            root = str(tmp_path / f"bpe_{name}")
+            for p in order:
+                st.term_counts_epoch(
+                    ray.data.from_arrow(tbl.filter(pa.array(ids % 3 == p))),
+                    root)
+            inc = st.bpe_merges_from_state(root, num_merges=6)
+            assert inc.equals(batch), name
