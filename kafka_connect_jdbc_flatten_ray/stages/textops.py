@@ -277,7 +277,9 @@ def _bigram_rows(t: pa.Table) -> pa.Table:
     })
 
 
-def bigram_lm_score(docs: ray.data.Dataset) -> ray.data.Dataset:
+def bigram_lm_score(
+    docs: ray.data.Dataset, salt_contexts: int | None = None
+) -> ray.data.Dataset:
     """Bigram language-model quality score — the CCNet-style perplexity
     filter, MLE-trained on the scored corpus itself:
 
@@ -295,9 +297,12 @@ def bigram_lm_score(docs: ray.data.Dataset) -> ray.data.Dataset:
     have no bigrams and are absent from the output (the SQL mirror's
     inner-join semantics). Hot LEFT contexts (a stop word's w1 group =
     every distinct (doc, follower) pair) are bounded by the loud
-    MAX_GROUP_ROWS guard; the scale remedy is salting the w1 group by
-    doc hash with a partial-sum pre-pass, as stages/windows.py does for
-    hot keys."""
+    MAX_GROUP_ROWS guard on the unsalted path; ``salt_contexts=S``
+    sub-partitions every w1 group by doc hash (the stages/windows.py
+    hot-key pattern): per-(w1, salt) partial sums reduce to one c(w1,·)
+    row per context, which replicates to the S salted groups — two extra
+    exchanges of partial rows, every group bounded by ~|w1 group| / S,
+    output identical to the unsalted path row for row."""
     from kafka_connect_jdbc_flatten_ray.stages.windows import MAX_GROUP_ROWS
 
     group_limit = MAX_GROUP_ROWS  # captured driver-side
@@ -347,12 +352,91 @@ def bigram_lm_score(docs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     _doc_avg.__name__ = "doc_avg_logprob"
-    return (
-        rows.groupby(["w1", "w2"]).map_groups(_attach_c12,
-                                              batch_format="pyarrow")
-        .groupby("w1").map_groups(_attach_c1, batch_format="pyarrow")
-        .groupby("doc_id").map_groups(_doc_avg, batch_format="pyarrow")
+    stage1 = rows.groupby(["w1", "w2"]).map_groups(
+        _attach_c12, batch_format="pyarrow")
+    if salt_contexts is None:
+        scored = stage1.groupby("w1").map_groups(
+            _attach_c1, batch_format="pyarrow")
+    else:
+        scored = _salted_attach_c1(stage1, salt_contexts, group_limit)
+    return scored.groupby("doc_id").map_groups(
+        _doc_avg, batch_format="pyarrow")
+
+
+def _salted_attach_c1(
+    stage1: ray.data.Dataset, num_salts: int, group_limit: int
+) -> ray.data.Dataset:
+    """Salted c(w1,·) attach: doc rows sub-partition by
+    splitmix64(doc_id) % S; per-(w1, salt) partial sums reduce to one
+    c1 row per w1, which replicates to every salt — so each salted group
+    holds its bounded doc-row slice plus exactly one c1 carrier row."""
+    from kafka_connect_jdbc_flatten_ray.functions.hashing import _splitmix64
+
+    S = int(num_salts)
+
+    def _salt(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        salt = (_splitmix64(did.view(np.uint64)) % np.uint64(S)).astype(
+            np.int32)
+        return t.append_column("__salt", pa.array(salt))
+
+    salted = stage1.map_batches(_salt, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # c(w1,.) via bounded partials: per-(w1, salt) sums first (each group
+    # bounded), then one tiny per-w1 reduce over <= S partial rows
+    c1 = (
+        salted.groupby(["w1", "__salt"]).sum("m")
+        .map_batches(lambda t: pa.table({"w1": t.column("w1"),
+                                         "c1_part": t.column("sum(m)")}),
+                     batch_format="pyarrow")
+        .groupby("w1").sum("c1_part")
     )
+
+    def _replicate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        w1 = t.column("w1")
+        if isinstance(w1, pa.ChunkedArray):
+            w1 = w1.combine_chunks()
+        c = t.column("sum(c1_part)").to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), S))
+        return pa.table({
+            "w1": w1.take(idx),
+            "doc_id": pa.array(np.full(n * S, -1, np.int64)),
+            "m": pa.array(np.repeat(c, S).astype(np.int64)),
+            "c12": pa.array(np.zeros(n * S, np.int64)),
+            "__salt": pa.array(np.tile(np.arange(S, dtype=np.int32), n)),
+        })
+
+    carriers = c1.map_batches(_replicate, batch_format="pyarrow")
+
+    def _attach(g: pa.Table) -> pa.Table:
+        if g.num_rows > group_limit:
+            w1 = g.column("w1")[0].as_py()
+            raise ValueError(
+                f"bigram_lm_score: salted group for context {w1!r} holds "
+                f"{g.num_rows} rows (> {group_limit}); raise salt_contexts"
+            )
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        mv = g.column("m").to_numpy(zero_copy_only=False)
+        is_c1 = did == -1
+        keep = ~is_c1
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64()),
+                             "lp": pa.array([], pa.float64())})
+        c1v = float(mv[is_c1][0])
+        m = mv[keep].astype(np.float64)
+        c12 = g.column("c12").to_numpy(zero_copy_only=False)[keep].astype(
+            np.float64)
+        return pa.table({
+            "doc_id": pa.array(did[keep]),
+            "m": pa.array(mv[keep]),
+            "lp": pa.array(m * np.log(c12 / c1v), pa.float64()),
+        })
+
+    _attach.__name__ = "attach_c1_salted"
+    return salted.union(carriers).groupby(["w1", "__salt"]).map_groups(
+        _attach, batch_format="pyarrow")
 
 
 def _segmented_pow64(base: np.uint64, exps: np.ndarray) -> np.ndarray:

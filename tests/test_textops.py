@@ -378,3 +378,41 @@ class TestBPEEncode:
         # 'aaa' -> no merges apply => 3 symbols
         # '' -> one empty word, zero symbols
         assert out == {0: 2, 1: 3, 2: 0}
+
+
+class TestBigramLMSalted:
+    def test_salted_equals_unsalted(self, ray_session, sf_dir):
+        import ray.data
+
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bigram_lm_score,
+        )
+        from kafka_connect_jdbc_flatten_ray.util import read_parquet_clean
+
+        docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        plain = bigram_lm_score(docs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for s in (4, 16):
+            salted = bigram_lm_score(docs, salt_contexts=s).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            assert salted.equals(plain), s
+
+    def test_salted_guard_names_remedy(self, ray_session, monkeypatch):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        import kafka_connect_jdbc_flatten_ray.stages.windows as win
+        from kafka_connect_jdbc_flatten_ray.stages.textops import (
+            bigram_lm_score,
+        )
+
+        monkeypatch.setattr(win, "MAX_GROUP_ROWS", 3)
+        docs = pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(["the cat " + f"x{i}" for i in range(20)]),
+        })
+        with pytest.raises(Exception, match="salt_contexts"):
+            bigram_lm_score(ray.data.from_arrow(docs),
+                            salt_contexts=1).to_pandas()
